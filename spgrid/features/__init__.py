@@ -1,0 +1,23 @@
+"""Structural & value feature extraction (ref: lib/storage_formats/csr_util)."""
+
+from spgrid.features.structural import (
+    MatrixFeatures,
+    matrix_features,
+    twin_params,
+    row_degrees,
+    col_degrees,
+    row_bandwidths,
+    row_scatters,
+    num_neighbours,
+    avg_num_neighbours,
+    cross_row_stats,
+    cross_row_similarity,
+    ngroups,
+)
+
+__all__ = [
+    "MatrixFeatures", "matrix_features", "twin_params",
+    "row_degrees", "col_degrees", "row_bandwidths", "row_scatters",
+    "num_neighbours", "avg_num_neighbours", "cross_row_stats",
+    "cross_row_similarity", "ngroups",
+]
