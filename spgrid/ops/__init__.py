@@ -1,0 +1,35 @@
+"""Sparse kernels: XLA baselines + Pallas TPU kernels + pipeline + dispatch."""
+
+from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
+from spgrid.ops.xla import (
+    gemm,
+    spmm_dense,
+    spmv_coo,
+    spmm_coo,
+    spmv_ell,
+    spmm_ell,
+    spmm_bsr,
+    spmv_sell,
+    sddmm_coo,
+    sddmm_dense,
+)
+from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+from spgrid.ops.pallas.sddmm import bsr_sddmm
+from spgrid.ops.attention import (
+    SparseAttention,
+    attention_pipeline,
+    make_pipeline_step,
+    gold_pipeline,
+    blocksparse_softmax,
+)
+from spgrid.ops.dispatch import select_format, autotune_spmm, build, spmm_fn
+
+__all__ = [
+    "DeviceCOO", "DeviceELL", "DeviceBSR", "DeviceSELL",
+    "gemm", "spmm_dense", "spmv_coo", "spmm_coo", "spmv_ell", "spmm_ell",
+    "spmm_bsr", "spmv_sell", "sddmm_coo", "sddmm_dense",
+    "bsr_spmm", "bsr_sddmm",
+    "SparseAttention", "attention_pipeline", "make_pipeline_step",
+    "gold_pipeline", "blocksparse_softmax",
+    "select_format", "autotune_spmm", "build", "spmm_fn",
+]

@@ -1,0 +1,111 @@
+"""Format selection: heuristic dispatch + measured autotune.
+
+The reference studies exactly this question — which format/kernel wins for
+which structural features (the whole synthetic-dataset methodology).  Here
+the selection is a first-class API (BASELINE.json config 4: "Format
+autotune: CSR/COO/BSR/sliced-ELL selection across skew/bandwidth grid").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgrid.core.timing import time_kernel
+from spgrid.features.structural import MatrixFeatures, matrix_features
+from spgrid.formats.csr import CSRMatrix
+from spgrid.ops import xla as xops
+from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
+from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+
+FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo")
+
+
+def select_format(f: MatrixFeatures, n: int = 512) -> str:
+    """Heuristic selection from structural features (no measurement).
+
+    Rules of thumb derived from the TPU cost model:
+    - density high enough that most (8,128) tiles are occupied → densified
+      matmul is at the MXU roofline: 'dense'.
+    - moderate density / clustered columns (high neighbour count or low
+      scaled bandwidth) → BSR blocks stay dense enough for the MXU:
+      'bsr_pallas'.
+    - low skew → plain ELL padding is cheap: 'ell' (gather + VPU).
+    - otherwise → COO segment-sum (robust to any structure).
+    """
+    density = f.density
+    if density >= 0.25:
+        return "dense"
+    # Estimated occupancy of an (8, 128) tile: nnz per tile ≈ density*8*128,
+    # boosted by column clustering.
+    clustering = 1.0 + f.avg_num_neighbours + 4.0 * f.cross_row_similarity
+    est_block_occupancy = min(1.0, density * clustering)
+    if est_block_occupancy * 8 * 128 >= 24:
+        return "bsr_pallas"
+    if f.skew <= 2.0:
+        return "ell"
+    return "coo"
+
+
+def build(csr: CSRMatrix, fmt: str, *, bm: int = 8, bk: int = 128):
+    """Materialize the device operand for a format name."""
+    if fmt == "dense":
+        return jnp.asarray(csr.to_dense())
+    if fmt in ("bsr", "bsr_pallas"):
+        return DeviceBSR.from_csr(csr, bm=bm, bk=bk)
+    if fmt == "ell":
+        return DeviceELL.from_csr(csr)
+    if fmt == "sell":
+        return DeviceSELL.from_csr(csr)
+    if fmt == "coo":
+        return DeviceCOO.from_csr(csr)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def spmm_fn(fmt: str) -> Callable:
+    return {
+        "dense": xops.spmm_dense,
+        "bsr_pallas": bsr_spmm,
+        "bsr": xops.spmm_bsr,
+        "ell": xops.spmm_ell,
+        "coo": xops.spmm_coo,
+    }[fmt]
+
+
+@dataclasses.dataclass
+class AutotuneResult:
+    best: str
+    times: Dict[str, float]     # seconds per iteration (inf = failed/skipped)
+
+
+def autotune_spmm(
+    csr: CSRMatrix,
+    x: jax.Array,
+    candidates=("dense", "bsr_pallas", "ell", "coo"),
+    *,
+    warmup_iters: int = 3,
+    min_time_s: float = 0.05,
+    min_iters: int = 5,
+    dense_limit: int = 1 << 26,
+) -> AutotuneResult:
+    """Measure each candidate and return the fastest (ref methodology:
+    empirical kernel x matrix sweeps; here condensed to a per-matrix tune)."""
+    times: Dict[str, float] = {}
+    for fmt in candidates:
+        if fmt == "dense" and csr.m * csr.k > dense_limit:
+            times[fmt] = float("inf")
+            continue
+        try:
+            a = build(csr, fmt)
+            fn = spmm_fn(fmt)
+            r = time_kernel(lambda: fn(a, x), warmup_iters=warmup_iters,
+                            min_time_s=min_time_s, min_iters=min_iters)
+            times[fmt] = r.time_per_iter_s
+        except Exception:
+            times[fmt] = float("inf")
+    best = min(times, key=times.get)
+    return AutotuneResult(best=best, times=times)

@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: block-sparse-row SpMM through the MXU.
+
+This is the framework's flagship custom kernel — the TPU-native answer to the
+reference's hand-tuned CSR SpMM family (``spmv_kernel_csr.cpp:352-460``).
+The reference balances *rows* across cores; on TPU the unit of work is a
+dense (bm x bk) block feeding the 128x128 systolic array, so the layout is
+flattened block-sparse rows (DeviceBSR) and the "partitioner" is the
+scalar-prefetched block metadata that steers each grid step's DMAs:
+
+  grid = (num_n_tiles, num_blocks)           # blocks innermost, row-sorted
+  per step b:   A-block  blocks[b]           (bm, bk)   VMEM
+                X-tile   x[block_cols[b]]    (bk, TN)   VMEM (prefetch-steered)
+                Y-tile   y[block_rows[b]]    (bm, TN)   VMEM accumulator
+
+Because blocks are sorted by block row, each output tile is visited by one
+contiguous run of grid steps; Pallas keeps it resident in VMEM across the
+run (output revisiting) and the kernel zeroes it on the first block of each
+run.  Padding blocks carry block_row = mb and zero values; they accumulate
+into a sacrificial (mb+1)-th output row-block that is sliced off.
+
+The scalar-prefetch indirection means X tiles are DMA'd directly from HBM by
+block-column index — the TPU equivalent of the gather ``x[ja[j]]`` that
+dominates CPU/GPU sparse kernels, but amortized over a (bk x TN) tile and
+overlapped with the MXU by the Pallas pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spgrid.ops.layouts import DeviceBSR
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(rows_ref, cols_ref, block_ref, x_ref, out_ref):
+    b = pl.program_id(1)
+    row = rows_ref[b]
+    prev = rows_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, row != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.dot(
+        block_ref[0], x_ref[:], preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mb", "m", "n_tile", "interpret"),
+)
+def _bsr_spmm(block_rows, block_cols, blocks, x, *, mb, m, n_tile, interpret):
+    nb, bm, bk = blocks.shape
+    k, n = x.shape
+    n_pad = _round_up(n, n_tile)
+    k_pad = _round_up(k, bk)
+    if n_pad != n or k_pad != k:
+        x = jnp.pad(x, ((0, k_pad - k), (0, n_pad - n)))
+    num_n_tiles = n_pad // n_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_n_tiles, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bm, bk),
+                lambda nt, b, rows, cols: (b, 0, 0),
+            ),
+            pl.BlockSpec(
+                (bk, n_tile),
+                lambda nt, b, rows, cols: (cols[b], nt),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, n_tile),
+            lambda nt, b, rows, cols: (rows[b], nt),
+        ),
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(((mb + 1) * bm, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * bm * bk * n_pad,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + nb * bk * n_pad * x.dtype.itemsize
+            + (mb + 1) * bm * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_rows, block_cols, blocks, x)
+    return out[:m, :n].astype(x.dtype)
+
+
+def bsr_spmm(bsr: DeviceBSR, x: jax.Array, *, n_tile: int = 256,
+             interpret: bool | None = None) -> jax.Array:
+    """Y = A @ X with A in DeviceBSR layout.
+
+    n_tile is the dense-operand tile width (lane-dim multiple of 128).
+    interpret=None auto-selects interpreter mode off-TPU so tests run on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_tile = min(n_tile, _round_up(x.shape[1], 128))
+    return _bsr_spmm(
+        bsr.block_rows, bsr.block_cols, bsr.blocks, x,
+        mb=bsr.mb, m=bsr.shape[0], n_tile=n_tile, interpret=interpret,
+    )

@@ -1,0 +1,187 @@
+"""XLA-native baseline kernels: SpMV / SpMM / SDDMM / GEMM bound.
+
+These are the "library" kernels of the framework — the role MKL / cuSPARSE /
+TACO play in the reference (spmm_kernel_mkl_ie.cpp, sddmm_taco.cpp): a
+correct, always-available implementation on top of the vendor stack, here
+XLA's fused gather / segment-sum / dot machinery.  The Pallas kernels in
+spgrid.ops.pallas are the custom-kernel counterparts.
+
+All functions are jit-friendly (static shapes, no data-dependent control
+flow) and accept/return committed device arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
+
+
+# --------------------------------------------------------------------------
+# Dense GEMM bound (ref: spmm_kernel_mkl_gemm.cpp — upper-bound baseline)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def gemm(a: jax.Array, x: jax.Array) -> jax.Array:
+    return jnp.dot(a, x, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+@jax.jit
+def spmm_dense(a_dense: jax.Array, x: jax.Array) -> jax.Array:
+    """Densified SpMM: the sparse matrix materialized dense.
+
+    For DLMC-class matrices (~50% dense) this rides the MXU at full tilt and
+    is the honest TPU analogue of "just call the vendor GEMM"; flops are
+    still accounted sparse (2*nnz*n)."""
+    return jnp.dot(a_dense, x, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# COO segment-sum kernels (ref: naive CSR loops, spmm_kernel_csr.cpp:70-97)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("m",))
+def _spmv_coo(rows, cols, vals, x, m):
+    prods = vals * jnp.take(x, cols, axis=0, fill_value=0)
+    return jax.ops.segment_sum(prods, rows, num_segments=m + 1)[:m]
+
+
+def spmv_coo(coo: DeviceCOO, x: jax.Array) -> jax.Array:
+    """y = A @ x via gather + segment_sum. Padding rows land in segment m."""
+    return _spmv_coo(coo.rows, coo.cols, coo.values, x, coo.shape[0])
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _spmm_coo(rows, cols, vals, x, m):
+    prods = vals[:, None] * jnp.take(x, cols, axis=0, fill_value=0)
+    return jax.ops.segment_sum(prods, rows, num_segments=m + 1)[:m]
+
+
+def spmm_coo(coo: DeviceCOO, x: jax.Array) -> jax.Array:
+    """Y = A @ X via gather + segment_sum over nnz."""
+    return _spmm_coo(coo.rows, coo.cols, coo.values, x, coo.shape[0])
+
+
+# --------------------------------------------------------------------------
+# ELL kernels — the padded-gather formulation (ref: spmv_kernel_ell.cpp)
+# --------------------------------------------------------------------------
+
+def spmv_ell(ell: DeviceELL, x: jax.Array) -> jax.Array:
+    return _spmv_ell(ell.cols, ell.values, x, ell.shape[0])
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _spmv_ell(cols, vals, x, m):
+    gathered = jnp.take(x, cols, axis=0, fill_value=0)      # (m_pad, w)
+    return jnp.sum(vals * gathered, axis=1)[:m]
+
+
+def spmm_ell(ell: DeviceELL, x: jax.Array, row_block: int = 256) -> jax.Array:
+    return _spmm_ell(ell.cols, ell.values, x, ell.shape[0], row_block)
+
+
+@partial(jax.jit, static_argnames=("m", "row_block"))
+def _spmm_ell(cols, vals, x, m, row_block):
+    """Y = A @ X from ELL: per row-block gather X rows then contract width.
+
+    Blocked over rows with lax.map so the (rb, w, n) gather intermediate
+    stays small enough to fuse in VMEM instead of materializing (m, w, n)
+    in HBM."""
+    m_pad, w = cols.shape
+    n = x.shape[1]
+    rb = min(row_block, m_pad)
+    nb = -(-m_pad // rb)
+    pad = nb * rb - m_pad
+    if pad:
+        cols = jnp.pad(cols, ((0, pad), (0, 0)))
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    cols_b = cols.reshape(nb, rb, w)
+    vals_b = vals.reshape(nb, rb, w)
+
+    def block(args):
+        cb, vb = args
+        g = jnp.take(x, cb.reshape(-1), axis=0, fill_value=0).reshape(rb, w, n)
+        return jnp.einsum("rw,rwn->rn", vb, g,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+
+    y = jax.lax.map(block, (cols_b, vals_b))
+    return y.reshape(nb * rb, n)[:m]
+
+
+# --------------------------------------------------------------------------
+# BSR kernel — batched dense blocks through the MXU
+# --------------------------------------------------------------------------
+
+def spmm_bsr(bsr: DeviceBSR, x: jax.Array) -> jax.Array:
+    return _spmm_bsr(bsr.block_rows, bsr.block_cols, bsr.blocks, x,
+                     bsr.mb, bsr.shape[0])
+
+
+@partial(jax.jit, static_argnames=("mb", "m"))
+def _spmm_bsr(block_rows, block_cols, blocks, x, mb, m):
+    nb, bm, bk = blocks.shape
+    n = x.shape[1]
+    kb = -(-x.shape[0] // bk)
+    if kb * bk != x.shape[0]:
+        x = jnp.pad(x, ((0, kb * bk - x.shape[0]), (0, 0)))
+    xb = x.reshape(kb, bk, n)
+    gathered = jnp.take(xb, block_cols, axis=0, fill_value=0)   # (nb, bk, n)
+    prods = jnp.einsum("bij,bjn->bin", blocks, gathered,
+                       preferred_element_type=jnp.float32)      # (nb, bm, n)
+    out = jax.ops.segment_sum(prods, block_rows, num_segments=mb + 1)[:mb]
+    return out.reshape(mb * bm, n)[:m].astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# SELL-C-sigma SpMV — per-bucket gather, then un-permute
+# --------------------------------------------------------------------------
+
+def spmv_sell(sell: DeviceSELL, x: jax.Array) -> jax.Array:
+    m = sell.shape[0]
+    m_pad = sell.perm.shape[0]
+    parts = []
+    for cols, vals, srows in zip(sell.bucket_cols, sell.bucket_vals,
+                                 sell.bucket_slice_rows):
+        s, C, w = cols.shape
+        g = jnp.take(x, cols.reshape(-1), axis=0, fill_value=0).reshape(s, C, w)
+        part = jnp.sum(vals * g, axis=2)                       # (s, C)
+        parts.append((srows, part))
+    y_perm = jnp.zeros((m_pad,), dtype=x.dtype)
+    for srows, part in parts:
+        s, C = part.shape
+        idx = srows[:, None] + jnp.arange(C)[None, :]
+        y_perm = y_perm.at[idx.reshape(-1)].add(part.reshape(-1).astype(x.dtype))
+    # slot i holds original row perm[i]
+    y = jnp.zeros((m_pad,), dtype=x.dtype).at[sell.perm].set(y_perm)
+    return y[:m]
+
+
+# --------------------------------------------------------------------------
+# SDDMM — masked Q @ K^T (ref: sddmm_taco_naive.cpp:98-140)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _sddmm_coo(rows, cols, mask_vals, q, kt):
+    qg = jnp.take(q, rows, axis=0, fill_value=0)    # (nnz, d)
+    kg = jnp.take(kt, cols, axis=0, fill_value=0)   # (nnz, d)
+    dots = jnp.sum(qg.astype(jnp.float32) * kg.astype(jnp.float32), axis=1)
+    return (dots * mask_vals).astype(q.dtype)
+
+
+def sddmm_coo(mask: DeviceCOO, q: jax.Array, k: jax.Array) -> jax.Array:
+    """values[p] = mask_val[p] * sum_d Q[row_p, d] * K[col_p, d].
+
+    Matches the taco-naive semantics: dot over the dense width, then scaled
+    by the mask value (sddmm_taco_naive.cpp:118-137)."""
+    return _sddmm_coo(mask.rows, mask.cols, mask.values, q, k)
+
+
+@jax.jit
+def sddmm_dense(mask_dense: jax.Array, q: jax.Array, k: jax.Array) -> jax.Array:
+    """Dense formulation: mask ⊙ (Q @ K^T) — MXU-bound when mask is dense
+    enough; returns the dense masked score matrix."""
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    return (mask_dense * scores).astype(q.dtype)

@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU-tunnel backend and sets
+# jax_platforms="axon,cpu" via jax.config, which wins over the env var —
+# override it back before any backend initializes so tests stay on the
+# virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
