@@ -1,0 +1,254 @@
+"""Single-run benchmark harness: build → warm-up → time → oracle → row.
+
+The TPU re-design of the reference driver main/compute
+(``spmv_code_bench/spmv_bench.cpp:270-557,564-1035``): load or generate a
+matrix, convert to the benchmark format, run the warm-up + timed loop, check
+accuracy against the float64 oracle, extract structural features, audit the
+roofline, and emit one CSV row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgrid.core.config import BenchConfig
+from spgrid.core.metrics import error_metrics, gold_spmm_fast
+from spgrid.core.roofline import (
+    ChipSpec, detect_chip, roofline_time, spmm_flops, gemm_flops, csr_bytes,
+)
+from spgrid.core.timing import time_kernel, time_kernel_chained
+from spgrid.features.structural import matrix_features
+from spgrid.formats.csr import CSRMatrix
+from spgrid.gen.masks import create_mask
+from spgrid.ops import dispatch
+from spgrid.ops.attention import SparseAttention, attention_pipeline
+from spgrid.bench.schema import BenchRow
+
+
+def make_x(k: int, n: int, dtype: str, seed: int) -> np.ndarray:
+    """Deterministic dense operand in [0.5, 1.5) — positive like the
+    reference's fills, avoiding cancellation against the oracle."""
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    x = rng.random((k, n)) + 0.5
+    return x.astype(dtype)
+
+
+KERNELS = {
+    # kernel name -> format name in ops.dispatch
+    "csr_xla_coo": "coo",          # segment-sum baseline (naive CSR analogue)
+    "ell_xla": "ell",              # padded-gather
+    "bsr_xla": "bsr",              # batched block matmul via XLA
+    "bsr_pallas": "bsr_pallas",    # flagship Pallas MXU kernel
+    "dense": "dense",              # densified matmul
+    "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
+    "auto": None,                  # feature-driven dispatch
+}
+
+
+def run_spmm(
+    csr: CSRMatrix,
+    kernel: str = "bsr_pallas",
+    config: Optional[BenchConfig] = None,
+    chip: Optional[ChipSpec] = None,
+    check_accuracy: bool = True,
+    x: Optional[np.ndarray] = None,
+) -> BenchRow:
+    config = config or BenchConfig()
+    chip = chip or detect_chip()
+    n = config.num_cols
+    if x is None:
+        x = make_x(csr.k, n, config.dtype, config.seed)
+    xd = jnp.asarray(x)
+    csr = csr.astype(config.dtype) if csr.values.dtype != np.dtype(config.dtype) else csr
+
+    _prec_ctx = jax.default_matmul_precision(config.precision)
+    _prec_ctx.__enter__()
+    fmt = KERNELS[kernel]
+    if fmt is None:
+        feats = matrix_features(csr)
+        fmt = dispatch.select_format(feats, n)
+        kernel_run = fmt
+    else:
+        kernel_run = kernel
+    a = dispatch.build(csr, fmt)
+    fn = dispatch.spmm_fn(fmt)
+
+    flops = (gemm_flops(csr.m, csr.k, n) if kernel == "gemm_bound"
+             else spmm_flops(csr.nnz, n))
+    vb = np.dtype(config.dtype).itemsize
+    bytes_accessed = csr_bytes(csr.nnz, csr.m, n, csr.k, val_bytes=vb)
+    if fmt == "dense":
+        bytes_accessed = float((csr.m * csr.k + (csr.k + csr.m) * n) * vb)
+
+    # Differenced chained-loop timing: loop fused in jit, full-output
+    # feedback, RTT cancelled (see core.timing docstring).
+    timed = time_kernel_chained(
+        lambda xc: fn(a, xc), xd,
+        min_time_s=config.min_time_s,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+    )
+
+    row = BenchRow(
+        matrix_name=csr.name,
+        kernel=kernel,
+        fmt=fmt,
+        dtype=config.dtype,
+        device=chip.name,
+        num_devices=1,
+        input_columns=n,
+        csr_m=csr.m,
+        csr_k=csr.k,
+        csr_nnz=csr.nnz,
+        csr_mem_footprint_mb=csr.mem_footprint / (1 << 20),
+        fmt_mem_footprint_mb=_fmt_footprint(a) / (1 << 20),
+        time=timed.time_per_iter_s,
+        iters=timed.iters,
+        gflops=timed.gflops or math.nan,
+        gbytes_per_s=timed.gbytes_per_s or math.nan,
+        sol_time=roofline_time(flops, bytes_accessed, chip, config.dtype),
+        roofline_frac=min(
+            roofline_time(flops, bytes_accessed, chip, config.dtype)
+            / timed.time_per_iter_s, 9.99),
+    )
+
+    feats = matrix_features(csr)
+    row.density = feats.density
+    row.avg_nnz_per_row = feats.avg_nnz_per_row
+    row.std_nnz_per_row = feats.std_nnz_per_row
+    row.avg_bw_scaled = feats.avg_bw_scaled
+    row.std_bw_scaled = feats.std_bw_scaled
+    row.avg_sc_scaled = feats.avg_sc_scaled
+    row.skew = feats.skew
+    row.avg_num_neighbours = feats.avg_num_neighbours
+    row.cross_row_similarity = feats.cross_row_similarity
+
+    if check_accuracy:
+        gold = gold_spmm_fast(csr.row_ptr, csr.col_idx, csr.values, x)
+        test = np.asarray(fn(a, xd))
+        eps = config.epsilon if config.dtype != "float32" else 1e-4
+        m = error_metrics(gold, test, epsilon=eps)
+        row.mae, row.max_ae, row.mse = m.mae, m.max_ae, m.mse
+        row.mape, row.smape = m.mape, m.smape
+        row.lnQ_error, row.mlare, row.gmare = m.lnQ_error, m.mlare, m.gmare
+        row.errors_passed = int(m.passed)
+        if not m.passed:
+            print(f"Test failed! {csr.name} {kernel_run}: "
+                  f"max_rel_diff={m.max_rel_diff:.3e}")
+    _prec_ctx.__exit__(None, None, None)
+    return row
+
+
+def _fmt_footprint(a) -> int:
+    leaves = jax.tree_util.tree_leaves(a)
+    return sum(l.size * l.dtype.itemsize for l in leaves
+               if hasattr(l, "dtype"))
+
+
+def run_pipeline(
+    wk: CSRMatrix, wq: CSRMatrix, wv: CSRMatrix,
+    mask: Optional[CSRMatrix] = None,
+    config: Optional[BenchConfig] = None,
+    chip: Optional[ChipSpec] = None,
+    use_pallas: bool = True,
+    check_accuracy: bool = True,
+) -> BenchRow:
+    """Benchmark the 5-stage sparse-attention pipeline; per-stage GFLOPS
+    columns mirror pipeline_code_bench/sddmm_bench.cpp:1010-1079."""
+    from spgrid.ops.attention import make_pipeline_step, gold_pipeline
+
+    config = config or BenchConfig()
+    chip = chip or detect_chip()
+    n = config.num_cols
+    if mask is None:
+        mask = create_mask(config.sparse_attention_type, wk.m,
+                           config.sparsity, config.band_size, config.seed,
+                           dtype=np.dtype(config.dtype))
+    _prec_ctx = jax.default_matmul_precision(config.precision)
+    _prec_ctx.__enter__()
+    x = make_x(wk.k, n, config.dtype, config.seed)
+    xd = jnp.asarray(x)
+    attn = SparseAttention.from_csr(
+        wk.astype(config.dtype), wq.astype(config.dtype),
+        wv.astype(config.dtype), mask.astype(config.dtype))
+
+    step = make_pipeline_step(attn, use_pallas=use_pallas)
+    flops = attn.flops_per_col * n
+    timed = time_kernel_chained(
+        step, xd,
+        min_time_s=config.min_time_s,
+        flops=flops,
+    )
+
+    # Per-stage timing (separately jitted stage closures).
+    stage_flops = {
+        "K": spmm_flops(wk.nnz, n), "Q": spmm_flops(wq.nnz, n),
+        "V": spmm_flops(wv.nnz, n), "S": spmm_flops(mask.nnz, n),
+        "Y": spmm_flops(mask.nnz, n),
+    }
+    from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+    from spgrid.ops.pallas.sddmm import bsr_sddmm
+    from spgrid.ops import xla as xops
+    spmm = bsr_spmm if use_pallas else xops.spmm_bsr
+    k_out = spmm(attn.wk, xd)
+    q_out = spmm(attn.wq, xd)
+    v_out = spmm(attn.wv, xd)
+    if use_pallas:
+        sddmm = lambda q: bsr_sddmm(attn.mask, q, k_out)  # noqa: E731
+    else:
+        from spgrid.ops.attention import _sddmm_bsr_xla
+        sddmm = lambda q: _sddmm_bsr_xla(attn.mask, q, k_out)  # noqa: E731
+
+    def st(fn_of_arg, arg):
+        return time_kernel_chained(fn_of_arg, arg,
+                                   min_time_s=0.2).time_per_iter_s
+
+    stage_times = {
+        "K": st(lambda xc: spmm(attn.wk, xc), xd),
+        "Q": st(lambda xc: spmm(attn.wq, xc), xd),
+        "V": st(lambda xc: spmm(attn.wv, xc), xd),
+        "S": st(sddmm, q_out),
+    }
+    from spgrid.ops.attention import _with_blocks
+    s_bsr = _with_blocks(attn.mask, sddmm(q_out).astype(xd.dtype))
+    stage_times["Y"] = st(lambda v: spmm(s_bsr, v), v_out)
+
+    row = BenchRow(
+        matrix_name=f"pipeline_{wk.name}",
+        kernel="pipeline_pallas" if use_pallas else "pipeline_xla",
+        fmt="bsr",
+        dtype=config.dtype,
+        device=chip.name,
+        input_columns=n,
+        csr_m=wk.m, csr_k=wk.k,
+        csr_nnz=wk.nnz + wq.nnz + wv.nnz + mask.nnz,
+        time=timed.time_per_iter_s,
+        iters=timed.iters,
+        gflops=timed.gflops or math.nan,
+        gflops_spmm_K=stage_flops["K"] / stage_times["K"] / 1e9,
+        gflops_spmm_Q=stage_flops["Q"] / stage_times["Q"] / 1e9,
+        gflops_spmm_V=stage_flops["V"] / stage_times["V"] / 1e9,
+        gflops_sddmm=stage_flops["S"] / stage_times["S"] / 1e9,
+        gflops_final_spmm=stage_flops["Y"] / stage_times["Y"] / 1e9,
+    )
+
+    if check_accuracy:
+        gold = gold_pipeline(wk, wq, wv, mask, x)
+        test = np.asarray(step(xd))
+        eps = 1e-3 if config.dtype == "float32" else config.epsilon
+        mres = error_metrics(gold, test, epsilon=eps)
+        row.mae, row.max_ae, row.mse = mres.mae, mres.max_ae, mres.mse
+        row.mape, row.smape = mres.mape, mres.smape
+        row.lnQ_error, row.mlare, row.gmare = (mres.lnQ_error, mres.mlare,
+                                               mres.gmare)
+        row.errors_passed = int(mres.passed)
+        if not mres.passed:
+            print(f"Test failed! pipeline: max_rel_diff={mres.max_rel_diff:.3e}")
+    _prec_ctx.__exit__(None, None, None)
+    return row

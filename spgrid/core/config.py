@@ -62,6 +62,9 @@ class BenchConfig:
     min_time_s: float = 0.5
     min_iters: int = 32
     cooldown: float = 0.0
+    # Iterations fused inside one jit call (0 = auto: chained timing for
+    # matrices small enough that host dispatch would dominate).
+    chained_iters: int = 0
 
     # Sparse-attention knobs
     sparsity: float = 0.9
@@ -69,6 +72,12 @@ class BenchConfig:
     l_sparsity: float = 0.5
     sparse_attention_type: str = "band_and_random"
     sddmm_sparsification_type: str = "none"
+
+    # Matmul precision: 'auto' = HIGHEST for f32/f64 (true-f32 MXU passes,
+    # matching the reference's f32 accuracy contract), 'default' for bf16.
+    # TPU's default f32 matmul is bf16-split (~1e-3 rel error) and would
+    # fail the reference gate.
+    matmul_precision: str = "auto"
 
     # Reproducibility
     seed: int = 14
@@ -80,6 +89,12 @@ class BenchConfig:
     @property
     def epsilon(self) -> float:
         return {"float32": 1e-7, "float64": 1e-10, "bfloat16": 3e-2}[self.dtype]
+
+    @property
+    def precision(self) -> str:
+        if self.matmul_precision != "auto":
+            return self.matmul_precision
+        return "default" if self.dtype == "bfloat16" else "highest"
 
     @classmethod
     def from_env(cls, **overrides) -> "BenchConfig":

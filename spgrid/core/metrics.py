@@ -147,3 +147,32 @@ def gold_spmm(
             prods = v[s:e, None] * x2[col_idx[s:e]]
             out[i] = kahan_sum(prods, axis=0)
     return out if x64.ndim == 2 else out[:, 0]
+
+
+def gold_spmm_fast(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    values: np.ndarray,
+    x: np.ndarray,
+) -> np.ndarray:
+    """Vectorized float64 oracle (np.add.reduceat over row segments).
+
+    Used by the benchmark harness on large matrices where the per-row Kahan
+    loop is too slow; float64 straight summation still carries ~2^29 more
+    mantissa margin than the f32/bf16 device kernels it gates."""
+    m = len(row_ptr) - 1
+    x64 = np.asarray(x, dtype=np.float64)
+    squeeze = x64.ndim == 1
+    x2 = x64.reshape(x64.shape[0], -1)
+    v = np.asarray(values, dtype=np.float64)
+    prods = v[:, None] * x2[col_idx]                     # (nnz, n)
+    starts = np.asarray(row_ptr[:-1], dtype=np.int64)
+    nnz = len(v)
+    out = np.zeros((m, x2.shape[1]), dtype=np.float64)
+    nonempty = starts < row_ptr[1:]
+    if nnz and nonempty.any():
+        # reduceat needs strictly valid segment starts; empty rows repeat the
+        # next start and must be zeroed after.
+        red = np.add.reduceat(prods, starts[nonempty], axis=0)
+        out[nonempty] = red
+    return out[:, 0] if squeeze else out

@@ -2,19 +2,32 @@
 
 Reimplements the reference measurement protocol
 (``spmv_code_bench/spmv_bench.cpp:316-380``): warm-up iterations, then a
-timed loop repeated until a minimum wall time is reached; throughput is
-``flops / time``.  On TPU the analogue of ``clock_gettime`` around an OpenMP
-region is a host monotonic clock around ``jax.block_until_ready`` on a jitted
-callable; the warm-up also absorbs XLA compilation.
+timed loop until a minimum wall time.  Two TPU-specific hazards shape the
+design (both observed on real hardware):
+
+1. **Linearity hoisting.** Timing K applications of a *linear* kernel inside
+   one jit with a scalar data dependence is void: XLA distributes
+   ``dot(a, x + s·E)`` and hoists the loop-invariant matmul.  The chained
+   loop therefore feeds the FULL output back into the next input, scaled by
+   1e-30 (exact identity in f32/bf16 arithmetic, opaque to the algebraic
+   simplifier).
+
+2. **Async relay.** On tunneled/remote PJRT platforms ``block_until_ready``
+   may ack before device completion; only a device-to-host fetch is a true
+   barrier.  Every measurement ends with a scalar fetch, and the per-
+   iteration time is obtained by *differencing* two loop lengths, which
+   cancels the RTT and fixed dispatch overheads exactly.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 @dataclasses.dataclass
@@ -38,6 +51,88 @@ class TimedResult:
         return self.bytes_accessed / self.time_per_iter_s / 1e9
 
 
+def _sync_fetch(out) -> float:
+    """True execution barrier: fetch one scalar of the result to host."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.device_get(leaf.ravel()[0]))
+
+
+def _feedback(y, x0):
+    """Full-rank perturbation of x0 by y, numerically exact identity.
+
+    1e-30·y underflows against x0's magnitude in f32/bf16, so x0 is bitwise
+    unchanged for any reasonably scaled problem — but the dependence blocks
+    loop-invariant hoisting and algebraic distribution of linear kernels."""
+    leaf = jax.tree_util.tree_leaves(y)[0].astype(jnp.float32).ravel()
+    need = x0.size
+    if leaf.size < need:
+        reps = -(-need // leaf.size)
+        leaf = jnp.tile(leaf, reps)
+    pert = leaf[:need].reshape(x0.shape)
+    return x0 + (pert * 1e-30).astype(x0.dtype)
+
+
+def _chained_runner(kernel_of_x: Callable, x: jax.Array, iters: int):
+    @jax.jit
+    def many(x0):
+        def body(i, xc):
+            y = kernel_of_x(xc)
+            return _feedback(y, x0)
+        return jax.lax.fori_loop(0, iters, body, x0)
+    return many
+
+
+def time_kernel_chained(
+    kernel_of_x: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    *,
+    min_time_s: float = 0.5,
+    base_iters: int = 4,
+    flops: Optional[float] = None,
+    bytes_accessed: Optional[float] = None,
+    repeats: int = 3,
+) -> TimedResult:
+    """Differenced chained-loop timing (the default protocol).
+
+    Measures t(I1) and t(I2) with the loop inside one jit; per-iteration
+    time = (t(I2)-t(I1))/(I2-I1), cancelling RTT and dispatch overhead."""
+    i1 = base_iters
+    run1 = _chained_runner(kernel_of_x, x, i1)
+    _sync_fetch(run1(x))                       # compile + warm
+    t0 = time.perf_counter()
+    _sync_fetch(run1(x))
+    t1 = time.perf_counter() - t0
+
+    # Estimate per-iter (generous lower bound) to pick I2 for min_time_s.
+    per_est = max(t1 / i1 / 4, 1e-7)
+    i2 = i1 + max(i1, min(int(min_time_s / per_est), 1 << 18))
+    run2 = _chained_runner(kernel_of_x, x, i2)
+    _sync_fetch(run2(x))                       # compile + warm
+
+    best = math.inf
+    total = 0.0
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        _sync_fetch(run1(x))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync_fetch(run2(x))
+        tb = time.perf_counter() - t0
+        total += ta + tb
+        per = (tb - ta) / (i2 - i1)
+        if per > 0:
+            best = min(best, per)
+    if not math.isfinite(best) or best <= 0:
+        best = max(tb / i2, 1e-9)
+    return TimedResult(
+        time_per_iter_s=best,
+        iters=(i1 + i2) * max(repeats, 1),
+        total_time_s=total,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+    )
+
+
 def time_kernel(
     fn: Callable[[], jax.Array],
     *,
@@ -47,37 +142,36 @@ def time_kernel(
     flops: Optional[float] = None,
     bytes_accessed: Optional[float] = None,
 ) -> TimedResult:
-    """Time ``fn`` (a zero-arg closure returning device array(s)).
+    """Per-call timing of a zero-arg closure (dispatch included).
 
-    Protocol (spmv_bench.cpp:316-380): warm-up ``warmup_iters`` times, then
-    run batches of the kernel, blocking on the last result only, until both
-    ``min_time_s`` and ``min_iters`` are satisfied.  Dispatch overhead is
-    amortized by growing the batch geometrically.
-    """
-    # Warm-up (absorbs compilation; reference uses 100 plain iterations).
+    Uses batch differencing with a sync fetch per batch so async-relay
+    platforms are measured truthfully.  Prefer time_kernel_chained for
+    kernels faster than ~1 ms."""
     out = None
     for _ in range(max(warmup_iters, 1)):
         out = fn()
-    jax.block_until_ready(out)
+    _sync_fetch(out)
 
-    total_iters = 0
-    total_time = 0.0
-    batch = max(1, min_iters // 4)
-    while total_time < min_time_s or total_iters < min_iters:
+    def run_batch(b):
         t0 = time.perf_counter()
         out = None
-        for _ in range(batch):
+        for _ in range(b):
             out = fn()
-        jax.block_until_ready(out)
-        t1 = time.perf_counter()
-        total_time += t1 - t0
-        total_iters += batch
-        batch = min(batch * 2, 4096)
+        _sync_fetch(out)
+        return time.perf_counter() - t0
 
+    b1 = max(1, min_iters // 4)
+    t1 = run_batch(b1)
+    per_est = max(t1 / b1 / 4, 1e-7)
+    b2 = b1 + max(b1, min(int(min_time_s / per_est), 1 << 14))
+    t2 = run_batch(b2)
+    per = (t2 - t1) / (b2 - b1)
+    if per <= 0:
+        per = t2 / b2
     return TimedResult(
-        time_per_iter_s=total_time / total_iters,
-        iters=total_iters,
-        total_time_s=total_time,
+        time_per_iter_s=per,
+        iters=b1 + b2,
+        total_time_s=t1 + t2,
         flops=flops,
         bytes_accessed=bytes_accessed,
     )

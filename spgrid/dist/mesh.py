@@ -1,0 +1,63 @@
+"""Mesh construction helpers.
+
+The reference pins OpenMP threads to cores (config.sh:16-31 pinning calc);
+the TPU analogue is laying a named mesh over the chip topology so
+collectives ride ICI links.  Multi-host entry: ``jax.distributed`` init per
+host, mesh spanning all processes (DCN between hosts)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def device_mesh_shape(n_devices: int, n_axes: int = 2) -> Tuple[int, ...]:
+    """Factor n_devices into a near-square n_axes shape (data-major)."""
+    shape = [1] * n_axes
+    remaining = n_devices
+    for i in range(n_axes - 1, 0, -1):
+        f = _largest_factor_le(remaining, int(round(remaining ** (1 / (i + 1)))))
+        shape[i] = f
+        remaining //= f
+    shape[0] = remaining
+    return tuple(shape)
+
+
+def _largest_factor_le(n: int, limit: int) -> int:
+    limit = max(1, min(limit, n))
+    for f in range(limit, 0, -1):
+        if n % f == 0:
+            return f
+    return 1
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("data", "model"),
+    shape: Optional[Sequence[int]] = None,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = device_mesh_shape(n, len(axis_names))
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (one process per host over DCN).
+
+    No-op when single-process; mirrors jax.distributed.initialize()'s
+    auto-detection on TPU pods."""
+    if num_processes is None and coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)

@@ -100,6 +100,17 @@ def artificial_matrix_generation(
     # Degrees cannot exceed the window width.
     np.clip(d, 0, w_row, out=d)
 
+    # Collision compensation: drawing t columns uniformly from a w-slot
+    # window yields E[unique] = w(1-(1-1/w)^t); invert so the measured
+    # degree lands on target after dedup (the reference generator achieves
+    # the same with its ordered_set insert-until-full loop).
+    if placement in ("random", "diagonal") and w_row < n:
+        ratio = np.minimum(d / w_row, 0.95)
+        denom = np.log1p(-1.0 / w_row)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d_draw = np.ceil(np.log1p(-ratio) / denom).astype(np.int64)
+        d = np.where(d > 0, np.maximum(d, d_draw), 0)
+
     # Skew: boost one row toward avg*(1+skew) nnz (capped by row width n).
     if skew > 0 and m > 0:
         boost_row = int(rng.integers(0, m))

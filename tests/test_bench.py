@@ -1,0 +1,83 @@
+import os
+import numpy as np
+import pytest
+
+from spgrid.bench import BenchRow, CSVWriter, run_spmm, run_sweep
+from spgrid.core.config import BenchConfig
+from spgrid.core.metrics import gold_spmm, gold_spmm_fast
+from spgrid.formats import random_csr
+from spgrid.gen import artificial_matrix_generation
+
+
+def small_cfg(**kw):
+    return BenchConfig(num_cols=32, warmup_iters=1, min_time_s=0.01,
+                       min_iters=2, **kw)
+
+
+def test_gold_fast_matches_kahan():
+    csr = random_csr(60, 50, density=0.1, seed=2, dtype=np.float64)
+    x = np.random.default_rng(0).random((50, 4))
+    np.testing.assert_allclose(
+        gold_spmm_fast(csr.row_ptr, csr.col_idx, csr.values, x),
+        gold_spmm(csr.row_ptr, csr.col_idx, csr.values, x), rtol=1e-12)
+
+
+def test_run_spmm_row():
+    csr = artificial_matrix_generation(200, 200, 6, 2, seed=14)
+    row = run_spmm(csr, kernel="csr_xla_coo", config=small_cfg())
+    assert row.errors_passed == 1
+    assert row.gflops > 0
+    assert row.csr_nnz == csr.nnz
+    assert 0 < row.roofline_frac <= 9.99
+    assert row.avg_nnz_per_row == pytest.approx(6, rel=0.2)
+
+
+def test_run_spmm_all_kernels():
+    csr = artificial_matrix_generation(150, 150, 8, 2, seed=14, bw=0.3)
+    for kernel in ("csr_xla_coo", "ell_xla", "bsr_xla", "dense",
+                   "gemm_bound", "auto"):
+        row = run_spmm(csr, kernel=kernel, config=small_cfg())
+        assert row.errors_passed == 1, kernel
+
+
+def test_csv_roundtrip(tmp_path):
+    p = str(tmp_path / "out.csv")
+    w = CSVWriter(p)
+    w.write(BenchRow(matrix_name="m1", kernel="k1", input_columns=32,
+                     time=0.5, gflops=1.0))
+    w.write(BenchRow(matrix_name="m2", kernel="k1", input_columns=32))
+    done = CSVWriter(p).done_keys()
+    assert ("m1", "k1", "32") in done and ("m2", "k1", "32") in done
+    with open(p) as f:
+        header = f.readline().strip()
+    assert header == BenchRow.header()
+
+
+def test_sweep_resume(tmp_path):
+    p = str(tmp_path / "sweep.csv")
+    csrs = [artificial_matrix_generation(100, 100, 5, 1, seed=s,
+                                         name=f"mat{s}") for s in (1, 2)]
+    rows = run_sweep(csrs, kernels=("csr_xla_coo",), num_cols_list=(16,),
+                     config=small_cfg(), out_csv=p, echo=False)
+    assert len(rows) == 2
+    # resume: nothing new
+    rows2 = run_sweep(csrs, kernels=("csr_xla_coo",), num_cols_list=(16,),
+                      config=small_cfg(), out_csv=p, echo=False)
+    assert len(rows2) == 0
+
+
+def test_cli_labels(capsys):
+    from spgrid.bench.cli import main
+    assert main(["--labels"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip() == BenchRow.header()
+
+
+def test_cli_generate(capsys, tmp_path):
+    from spgrid.bench.cli import main
+    rc = main(["--generate", "300 300 5 1.6667 normal random 0.05 0 0.05 0.05 14",
+               "--kernel", "csr_xla_coo", "--num-cols", "16",
+               "--out", str(tmp_path / "r.csv")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "csr_xla_coo" in err
