@@ -46,6 +46,7 @@ KERNELS = {
     "bsr_xla": "bsr",              # batched block matmul via XLA
     "bsr_pallas": "bsr_pallas",    # flagship Pallas MXU kernel
     "dense": "dense",              # densified matmul
+    "wcoo_pallas": "wcoo_pallas",  # lane-gather windowed-COO Pallas kernel
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch
 }
@@ -89,7 +90,7 @@ def run_spmm(
     # Differenced chained-loop timing: loop fused in jit, full-output
     # feedback, RTT cancelled (see core.timing docstring).
     timed = time_kernel_chained(
-        lambda xc: fn(a, xc), xd,
+        fn, xd, operands=a,
         min_time_s=config.min_time_s,
         flops=flops,
         bytes_accessed=bytes_accessed,
@@ -181,7 +182,8 @@ def run_pipeline(
     step = make_pipeline_step(attn, use_pallas=use_pallas)
     flops = attn.flops_per_col * n
     timed = time_kernel_chained(
-        step, xd,
+        lambda at, xc: attention_pipeline(at, xc, use_pallas=use_pallas)[0],
+        xd, operands=attn,
         min_time_s=config.min_time_s,
         flops=flops,
     )
@@ -199,25 +201,27 @@ def run_pipeline(
     k_out = spmm(attn.wk, xd)
     q_out = spmm(attn.wq, xd)
     v_out = spmm(attn.wv, xd)
+    from spgrid.ops.attention import _sddmm_bsr_xla as _sddmm_xla_fn
     if use_pallas:
         sddmm = lambda q: bsr_sddmm(attn.mask, q, k_out)  # noqa: E731
     else:
-        from spgrid.ops.attention import _sddmm_bsr_xla
-        sddmm = lambda q: _sddmm_bsr_xla(attn.mask, q, k_out)  # noqa: E731
+        sddmm = lambda q: _sddmm_xla_fn(attn.mask, q, k_out)  # noqa: E731
 
-    def st(fn_of_arg, arg):
-        return time_kernel_chained(fn_of_arg, arg,
+    def st(fn2, arg, ops):
+        return time_kernel_chained(fn2, arg, operands=ops,
                                    min_time_s=0.2).time_per_iter_s
 
     stage_times = {
-        "K": st(lambda xc: spmm(attn.wk, xc), xd),
-        "Q": st(lambda xc: spmm(attn.wq, xc), xd),
-        "V": st(lambda xc: spmm(attn.wv, xc), xd),
-        "S": st(sddmm, q_out),
+        "K": st(lambda w, xc: spmm(w, xc), xd, attn.wk),
+        "Q": st(lambda w, xc: spmm(w, xc), xd, attn.wq),
+        "V": st(lambda w, xc: spmm(w, xc), xd, attn.wv),
+        "S": st(lambda ops, q: (bsr_sddmm(ops[0], q, ops[1]) if use_pallas
+                                else _sddmm_xla_fn(ops[0], q, ops[1])),
+                q_out, (attn.mask, k_out)),
     }
     from spgrid.ops.attention import _with_blocks
     s_bsr = _with_blocks(attn.mask, sddmm(q_out).astype(xd.dtype))
-    stage_times["Y"] = st(lambda v: spmm(s_bsr, v), v_out)
+    stage_times["Y"] = st(lambda w, v: spmm(w, v), v_out, s_bsr)
 
     row = BenchRow(
         matrix_name=f"pipeline_{wk.name}",

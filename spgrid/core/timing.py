@@ -72,20 +72,29 @@ def _feedback(y, x0):
     return x0 + (pert * 1e-30).astype(x0.dtype)
 
 
-def _chained_runner(kernel_of_x: Callable, x: jax.Array, iters: int):
+def _chained_runner(kernel_of_x: Callable, x: jax.Array, iters: int,
+                    operands=None):
+    # ``operands`` must carry any device arrays the kernel uses (the sparse
+    # operand): a closure would bake them into the HLO as constants, which
+    # bloats compile payloads enormously (observed: 70MB HLO -> remote
+    # compile rejects).  With operands given, kernel is called as
+    # kernel(operands, x).
     @jax.jit
-    def many(x0):
+    def many(x0, operands):
         def body(i, xc):
-            y = kernel_of_x(xc)
+            y = (kernel_of_x(xc) if operands is None
+                 else kernel_of_x(operands, xc))
             return _feedback(y, x0)
         return jax.lax.fori_loop(0, iters, body, x0)
-    return many
+
+    return lambda x0: many(x0, operands)
 
 
 def time_kernel_chained(
-    kernel_of_x: Callable[[jax.Array], jax.Array],
+    kernel_of_x: Callable[..., jax.Array],
     x: jax.Array,
     *,
+    operands=None,
     min_time_s: float = 0.5,
     base_iters: int = 4,
     flops: Optional[float] = None,
@@ -97,7 +106,7 @@ def time_kernel_chained(
     Measures t(I1) and t(I2) with the loop inside one jit; per-iteration
     time = (t(I2)-t(I1))/(I2-I1), cancelling RTT and dispatch overhead."""
     i1 = base_iters
-    run1 = _chained_runner(kernel_of_x, x, i1)
+    run1 = _chained_runner(kernel_of_x, x, i1, operands)
     _sync_fetch(run1(x))                       # compile + warm
     t0 = time.perf_counter()
     _sync_fetch(run1(x))
@@ -106,7 +115,7 @@ def time_kernel_chained(
     # Estimate per-iter (generous lower bound) to pick I2 for min_time_s.
     per_est = max(t1 / i1 / 4, 1e-7)
     i2 = i1 + max(i1, min(int(min_time_s / per_est), 1 << 18))
-    run2 = _chained_runner(kernel_of_x, x, i2)
+    run2 = _chained_runner(kernel_of_x, x, i2, operands)
     _sync_fetch(run2(x))                       # compile + warm
 
     best = math.inf

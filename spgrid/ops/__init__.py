@@ -15,6 +15,8 @@ from spgrid.ops.xla import (
 )
 from spgrid.ops.pallas.bsr_spmm import bsr_spmm
 from spgrid.ops.pallas.sddmm import bsr_sddmm
+from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
+from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 from spgrid.ops.attention import (
     SparseAttention,
     attention_pipeline,
@@ -28,7 +30,8 @@ __all__ = [
     "DeviceCOO", "DeviceELL", "DeviceBSR", "DeviceSELL",
     "gemm", "spmm_dense", "spmv_coo", "spmm_coo", "spmv_ell", "spmm_ell",
     "spmm_bsr", "spmv_sell", "sddmm_coo", "sddmm_dense",
-    "bsr_spmm", "bsr_sddmm",
+    "bsr_spmm", "bsr_sddmm", "DeviceWCOO", "wcoo_spmm",
+    "DeviceWCOOAligned", "wcoo_spmv",
     "SparseAttention", "attention_pipeline", "make_pipeline_step",
     "gold_pipeline", "blocksparse_softmax",
     "select_format", "autotune_spmm", "build", "spmm_fn",

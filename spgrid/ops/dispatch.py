@@ -21,8 +21,9 @@ from spgrid.formats.csr import CSRMatrix
 from spgrid.ops import xla as xops
 from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
 from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
 
-FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo")
+FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo", "wcoo_pallas")
 
 
 def select_format(f: MatrixFeatures, n: int = 512) -> str:
@@ -46,9 +47,9 @@ def select_format(f: MatrixFeatures, n: int = 512) -> str:
     est_block_occupancy = min(1.0, density * clustering)
     if est_block_occupancy * 8 * 128 >= 24:
         return "bsr_pallas"
-    if f.skew <= 2.0:
+    if f.skew <= 2.0 and f.avg_nnz_per_row < 64:
         return "ell"
-    return "coo"
+    return "wcoo_pallas"
 
 
 def build(csr: CSRMatrix, fmt: str, *, bm: int = 8, bk: int = 128):
@@ -63,6 +64,8 @@ def build(csr: CSRMatrix, fmt: str, *, bm: int = 8, bk: int = 128):
         return DeviceSELL.from_csr(csr)
     if fmt == "coo":
         return DeviceCOO.from_csr(csr)
+    if fmt == "wcoo_pallas":
+        return DeviceWCOO.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -73,6 +76,7 @@ def spmm_fn(fmt: str) -> Callable:
         "bsr": xops.spmm_bsr,
         "ell": xops.spmm_ell,
         "coo": xops.spmm_coo,
+        "wcoo_pallas": wcoo_spmm,
     }[fmt]
 
 
