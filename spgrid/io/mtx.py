@@ -72,7 +72,18 @@ def read_mtx_coo(
 
 
 def read_mtx(path: str, expand_symmetry: bool = True,
-             pattern_dummy_value: float = 1.0, dtype=np.float32) -> CSRMatrix:
+             pattern_dummy_value: float = 1.0, dtype=np.float32,
+             use_native: bool = True) -> CSRMatrix:
+    if use_native and not str(path).endswith(".gz"):
+        from spgrid.io import native
+        try:
+            csr = native.read_mtx_native(path, expand_symmetry,
+                                         pattern_dummy_value, dtype,
+                                         name=_basename(path))
+        except ValueError:
+            csr = None
+        if csr is not None:
+            return csr
     return coo_to_csr(read_mtx_coo(path, expand_symmetry,
                                    pattern_dummy_value, dtype))
 

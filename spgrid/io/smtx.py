@@ -20,7 +20,21 @@ from spgrid.formats.csr import CSRMatrix, IDX_DTYPE
 
 
 def read_smtx(path: str, dtype=np.float32, value_fill: str = "random",
-              seed: int = 14) -> CSRMatrix:
+              seed: int = 14, use_native: bool = True) -> CSRMatrix:
+    if use_native and not str(path).endswith(".gz"):
+        from spgrid.io import native
+        from spgrid.io.mtx import _basename
+        try:
+            csr = native.read_smtx_native(path, dtype, name=_basename(path))
+        except ValueError:
+            csr = None
+        if csr is not None:
+            if value_fill == "random":
+                rng = np.random.default_rng(seed)
+                csr.values = (rng.random(csr.nnz) + 0.5).astype(dtype)
+            else:
+                csr.values = np.full(csr.nnz, float(value_fill), dtype=dtype)
+            return csr
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rt") as f:
         head = f.readline().replace(",", " ").split()
