@@ -19,3 +19,7 @@ __all__ = [
     "dist_bsr_spmm", "make_dist_spmm",
     "DistSparseAttention", "make_dist_pipeline_step",
 ]
+
+from spgrid.dist.scaling import ScalingPoint, scaling_study  # noqa: E402
+
+__all__ += ["ScalingPoint", "scaling_study"]

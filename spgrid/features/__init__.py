@@ -21,3 +21,7 @@ __all__ = [
     "num_neighbours", "avg_num_neighbours", "cross_row_stats",
     "cross_row_similarity", "ngroups",
 ]
+
+from spgrid.features.values import ValueFeatures, value_features, kmeans_1d  # noqa: E402
+
+__all__ += ["ValueFeatures", "value_features", "kmeans_1d"]

@@ -23,5 +23,14 @@ def read_matrix(path: str, dtype="float32", **kw):
     raise ValueError(f"unrecognized matrix file type: {path}")
 
 
+from spgrid.io.datasets import (  # noqa: E402
+    VALIDATION_MATRICES,
+    fetch_validation_matrix,
+    load_validation_matrix,
+    validation_names,
+)
+
 __all__ = ["read_matrix", "read_mtx", "read_mtx_coo", "write_mtx",
-           "read_smtx", "write_smtx"]
+           "read_smtx", "write_smtx", "VALIDATION_MATRICES",
+           "fetch_validation_matrix", "load_validation_matrix",
+           "validation_names"]
