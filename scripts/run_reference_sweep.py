@@ -1,0 +1,117 @@
+"""Representative benchmark sweep on real TPU hardware.
+
+Produces the committed artifacts under benchmark_results/tpu-v5e/ the way
+the reference commits benchmark_results/amd-epyc7/: a synthetic-dataset
+slice (structure grid), the DLMC-twin SpMM rows, SpMV rows, and the
+attention-pipeline rows, plus the standard plots.
+"""
+
+import itertools
+import os
+import sys
+
+import numpy as np
+
+from spgrid.bench.harness import run_spmm, run_pipeline
+from spgrid.bench.schema import CSVWriter
+from spgrid.core.config import BenchConfig
+from spgrid.gen import artificial_matrix_generation, GenParams
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
+                   "tpu-v5e")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+
+    # --- 1. SpMM structure grid (synthetic medium-dataset slice) ----------
+    w = CSVWriter(os.path.join(OUT, "spmm_structure_grid.csv"))
+    done = w.done_keys()
+    cfg = BenchConfig(num_cols=512, min_time_s=0.3)
+    for avg, bw, skew in itertools.product((5, 20, 100), (0.05, 0.3), (0, 1000)):
+        rows = int((4 * (1 << 20) - 4) / (12 * avg + 4))
+        csr = artificial_matrix_generation(
+            rows, rows, avg, round(avg / 3, 4), "normal", 14, "random",
+            bw, skew, 0.05, 0.05,
+            name=f"synth_4MB_a{avg}_b{bw:g}_s{skew}")
+        for kernel in ("wcoo_pallas", "ell_xla"):
+            if (csr.name, kernel, "512") in done:
+                continue
+            try:
+                row = run_spmm(csr, kernel=kernel, config=cfg)
+                w.write(row)
+                print(f"OK {csr.name} {kernel}: {row.gflops:.1f} GFLOPS "
+                      f"roof={row.roofline_frac:.3f} pass={row.errors_passed}",
+                      flush=True)
+            except Exception as e:
+                print(f"FAIL {csr.name} {kernel}: {type(e).__name__} {e}",
+                      flush=True)
+
+    # --- 2. SpMV rows ------------------------------------------------------
+    w2 = CSVWriter(os.path.join(OUT, "spmv.csv"))
+    done2 = w2.done_keys()
+    cfgv = BenchConfig(num_cols=1, min_time_s=0.3)
+    for avg, bw in itertools.product((5, 20), (0.05, 0.3)):
+        csr = artificial_matrix_generation(
+            100000, 100000, avg, round(avg / 3, 4), "normal", 14, "random",
+            bw, 0, 0.05, 0.05, name=f"synth_100k_a{avg}_b{bw:g}")
+        for kernel in ("wcoo_spmv", "wcoo_pallas"):
+            if (csr.name, kernel, "1") in done2:
+                continue
+            try:
+                row = run_spmm(csr, kernel=kernel, config=cfgv)
+                w2.write(row)
+                print(f"OK {csr.name} {kernel}: {row.gflops:.2f} GFLOPS "
+                      f"pass={row.errors_passed}", flush=True)
+            except Exception as e:
+                print(f"FAIL {csr.name} {kernel}: {type(e).__name__} {e}",
+                      flush=True)
+
+    # --- 3. DLMC-twin SpMM (the headline config) ---------------------------
+    w3 = CSVWriter(os.path.join(OUT, "spmm_dlmc_twin.csv"))
+    done3 = w3.done_keys()
+    csr = artificial_matrix_generation(512, 512, 256, 32, "normal", 14,
+                                       "random", 1.0, 0, 0.05, 0.05,
+                                       name="dlmc_twin_512_0.5")
+    for kernel in ("dense", "bsr_pallas", "gemm_bound"):
+        if (csr.name, kernel, "512") in done3:
+            continue
+        row = run_spmm(csr, kernel=kernel,
+                       config=BenchConfig(num_cols=512, min_time_s=0.5))
+        w3.write(row)
+        print(f"OK dlmc {kernel}: {row.gflops:.0f} GFLOPS", flush=True)
+
+    # --- 4. Attention pipeline --------------------------------------------
+    w4 = CSVWriter(os.path.join(OUT, "pipeline.csv"))
+    done4 = w4.done_keys()
+
+    def weight(s):
+        return artificial_matrix_generation(512, 512, 256, 32, "normal", s,
+                                            "random", 1.0, 0, 0.05, 0.05,
+                                            name=f"dlmc512_{s}")
+    for sparsity in (0.5, 0.9, 0.95):
+        key = (f"pipeline_dlmc512_1", f"pipeline_pallas", "512")
+        cfgp = BenchConfig(num_cols=512, sparsity=sparsity, band_size=16,
+                           min_time_s=0.5)
+        row = run_pipeline(weight(1), weight(2), weight(3), config=cfgp)
+        row.matrix_name = f"pipeline_dlmc512_sp{sparsity:g}"
+        w4.write(row)
+        print(f"OK pipeline sp={sparsity}: {row.gflops:.0f} GFLOPS total",
+              flush=True)
+
+    # --- plots -------------------------------------------------------------
+    try:
+        from spgrid.viz import load_results, plot_gflops_by_matrix, \
+            plot_feature_sweep, plot_roofline
+        df = load_results(os.path.join(OUT, "spmm_structure_grid.csv"))
+        plot_gflops_by_matrix(df, os.path.join(OUT, "spmm_grid_gflops.png"))
+        plot_feature_sweep(df, "avg_nnz_per_row",
+                           os.path.join(OUT, "spmm_vs_avg_nnz.png"))
+        plot_roofline(df, os.path.join(OUT, "spmm_roofline.png"))
+        print("plots written", flush=True)
+    except Exception as e:
+        print(f"plotting failed: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

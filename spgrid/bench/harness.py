@@ -47,6 +47,7 @@ KERNELS = {
     "bsr_pallas": "bsr_pallas",    # flagship Pallas MXU kernel
     "dense": "dense",              # densified matmul
     "wcoo_pallas": "wcoo_pallas",  # lane-gather windowed-COO Pallas kernel
+    "wcoo_spmv": "wcoo_spmv",      # fused aligned-slot SpMV (n=1)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch
 }

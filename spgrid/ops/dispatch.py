@@ -22,8 +22,10 @@ from spgrid.ops import xla as xops
 from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
 from spgrid.ops.pallas.bsr_spmm import bsr_spmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
+from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 
-FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo", "wcoo_pallas")
+FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo", "wcoo_pallas",
+           "wcoo_spmv")
 
 
 def select_format(f: MatrixFeatures, n: int = 512) -> str:
@@ -66,6 +68,8 @@ def build(csr: CSRMatrix, fmt: str, *, bm: int = 8, bk: int = 128):
         return DeviceCOO.from_csr(csr)
     if fmt == "wcoo_pallas":
         return DeviceWCOO.from_csr(csr)
+    if fmt == "wcoo_spmv":
+        return DeviceWCOOAligned.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -77,7 +81,14 @@ def spmm_fn(fmt: str) -> Callable:
         "ell": xops.spmm_ell,
         "coo": xops.spmm_coo,
         "wcoo_pallas": wcoo_spmm,
+        "wcoo_spmv": _wcoo_spmv_2d,
     }[fmt]
+
+
+def _wcoo_spmv_2d(a, x):
+    """Bench adapter: the fused SpMV kernel on a (k, 1) dense operand."""
+    y = wcoo_spmv(a, x[:, 0] if x.ndim == 2 else x)
+    return y[:, None] if x.ndim == 2 else y
 
 
 @dataclasses.dataclass
