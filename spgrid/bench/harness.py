@@ -48,6 +48,10 @@ KERNELS = {
     "dense": "dense",              # densified matmul
     "wcoo_pallas": "wcoo_pallas",  # lane-gather windowed-COO Pallas kernel
     "wcoo_spmv": "wcoo_spmv",      # fused aligned-slot SpMV (n=1)
+    "csc": "csc",                  # column-major scatter (MKL CSC analogue)
+    "ldu": "ldu",                  # face-list LDU (OpenFOAM; symmetric pattern)
+    "cv_bf16": "cv_bf16",          # compressed-value bf16
+    "cv_int8": "cv_int8",          # compressed-value int8 + row scales
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch
 }
@@ -132,7 +136,14 @@ def run_spmm(
     row.cross_row_similarity = feats.cross_row_similarity
 
     if check_accuracy:
-        gold = gold_spmm_fast(csr.row_ptr, csr.col_idx, csr.values, x)
+        gold_csr = csr
+        if fmt.startswith("cv_"):
+            # Gate kernel correctness, not the intentional compression loss:
+            # gold uses the dequantized values the kernel actually computes on.
+            from spgrid.formats.cv import csr_to_cv, cv_to_csr
+            gold_csr = cv_to_csr(csr_to_cv(csr, fmt.split("_")[1]))
+        gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
+                              gold_csr.values, x)
         test = np.asarray(fn(a, xd))
         eps = config.epsilon if config.dtype != "float32" else 1e-4
         m = error_metrics(gold, test, epsilon=eps)

@@ -24,3 +24,9 @@ __all__ = [
     "roofline_time",
     "roofline_fraction",
 ]
+
+from spgrid.core.profile import (  # noqa: E402
+    trace, annotate, KernelCost, spmm_cost, cost_report,
+)
+
+__all__ += ["trace", "annotate", "KernelCost", "spmm_cost", "cost_report"]

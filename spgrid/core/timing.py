@@ -112,14 +112,29 @@ def time_kernel_chained(
     _sync_fetch(run1(x))
     t1 = time.perf_counter() - t0
 
-    # Estimate per-iter (generous lower bound) to pick I2 for min_time_s.
-    per_est = max(t1 / i1 / 4, 1e-7)
-    i2 = i1 + max(i1, min(int(min_time_s / per_est), 1 << 18))
-    run2 = _chained_runner(kernel_of_x, x, i2, operands)
-    _sync_fetch(run2(x))                       # compile + warm
+    # Pick I2 so the long run actually spends >= min_time_s on device.
+    # t1 at tiny i1 is RTT-dominated on tunneled platforms, so a per-iter
+    # estimate from it overshoots by orders of magnitude and would make the
+    # "long" loop a few ms of pure jitter; escalate I2 until t2 >= min_time_s.
+    per_est = max(t1 / i1 / 4, 1e-8)
+    i2 = 0
+    t2 = 0.0
+    for _ in range(8):
+        i2_new = i1 + max(i1, min(int(min_time_s / per_est) + 1, 1 << 20))
+        if i2_new <= i2:
+            break
+        i2 = i2_new
+        run2 = _chained_runner(kernel_of_x, x, i2, operands)
+        _sync_fetch(run2(x))                   # compile + warm
+        t0 = time.perf_counter()
+        _sync_fetch(run2(x))
+        t2 = time.perf_counter() - t0
+        if t2 >= min_time_s * 0.9 or i2 >= 1 << 20:
+            break
+        per_est = max((t2 - t1) / (i2 - i1), t2 / i2 / 4, 1e-9)
 
-    best = math.inf
-    total = 0.0
+    total = t1 + t2
+    pers = []
     for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
         _sync_fetch(run1(x))
@@ -130,9 +145,14 @@ def time_kernel_chained(
         total += ta + tb
         per = (tb - ta) / (i2 - i1)
         if per > 0:
-            best = min(best, per)
-    if not math.isfinite(best) or best <= 0:
-        best = max(tb / i2, 1e-9)
+            pers.append(per)
+    # Median of the differenced estimates: robust to one-sided jitter spikes
+    # without the systematic low bias a min would have.
+    if pers:
+        pers.sort()
+        best = pers[len(pers) // 2]
+    else:
+        best = max(t2 / i2, 1e-9)
     return TimedResult(
         time_per_iter_s=best,
         iters=(i1 + i2) * max(repeats, 1),

@@ -13,6 +13,9 @@ from spgrid.features.structural import (
     cross_row_stats,
     cross_row_similarity,
     ngroups,
+    degree_histogram,
+    bandwidth_histogram,
+    scatter_histogram,
 )
 
 __all__ = [
@@ -20,6 +23,7 @@ __all__ = [
     "row_degrees", "col_degrees", "row_bandwidths", "row_scatters",
     "num_neighbours", "avg_num_neighbours", "cross_row_stats",
     "cross_row_similarity", "ngroups",
+    "degree_histogram", "bandwidth_histogram", "scatter_histogram",
 ]
 
 from spgrid.features.values import ValueFeatures, value_features, kmeans_1d  # noqa: E402

@@ -271,3 +271,44 @@ def twin_params(csr: CSRMatrix, name: str | None = None, seed: int = 14) -> str:
         f"{f.avg_num_neighbours:.4f} {f.cross_row_similarity:.4f} {seed}"
         + (f" {f.name}" if f.name else "")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histograms (ref: csr_util_gen.c:2065-2247 — degree/bandwidth/etc. histogram
+# printers used for the paper's distribution plots)
+# ---------------------------------------------------------------------------
+
+def _histogram(values: np.ndarray, num_bins: int, log_scale: bool):
+    values = np.asarray(values, dtype=np.float64)
+    if len(values) == 0:
+        return np.zeros(num_bins, dtype=np.int64), np.zeros(num_bins + 1)
+    if log_scale:
+        lo = max(float(values.min()), 0.0)
+        hi = float(values.max())
+        edges = np.unique(np.concatenate(
+            [[lo], np.geomspace(max(lo, 0.5), max(hi, 1.0), num_bins)]))
+        if len(edges) < 2:
+            edges = np.array([lo, hi + 1.0])
+        counts, edges = np.histogram(values, bins=edges)
+        return counts, edges
+    counts, edges = np.histogram(values, bins=num_bins)
+    return counts, edges
+
+
+def degree_histogram(csr: CSRMatrix, num_bins: int = 64,
+                     log_scale: bool = True):
+    """Histogram of nnz-per-row (counts, bin_edges)."""
+    return _histogram(row_degrees(csr), num_bins, log_scale)
+
+
+def bandwidth_histogram(csr: CSRMatrix, num_bins: int = 64,
+                        log_scale: bool = True):
+    """Histogram of per-row bandwidths (counts, bin_edges)."""
+    return _histogram(row_bandwidths(csr), num_bins, log_scale)
+
+
+def scatter_histogram(csr: CSRMatrix, num_bins: int = 64):
+    """Histogram of per-row scatter = degree/bw (linear bins in [0,1])."""
+    sc = row_scatters(csr)
+    counts, edges = np.histogram(sc, bins=num_bins, range=(0.0, 1.0))
+    return counts, edges

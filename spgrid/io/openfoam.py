@@ -29,6 +29,30 @@ def _read_openfoam_labels(path: str) -> np.ndarray:
     return np.array(text[lp + 1:rp].split(), dtype=np.int64)
 
 
+def read_openfoam_ldu(dirpath: str, dtype=np.float32,
+                      value_fill: float = 1.0):
+    """Read owner/neighbour directly into the native LDU format
+    (ref: spmv_kernel_ldu.cpp consumes the face lists without CSR assembly)."""
+    from spgrid.formats.ldu import LDUMatrix
+
+    owner = _read_openfoam_labels(os.path.join(dirpath, "owner"))
+    neigh = _read_openfoam_labels(os.path.join(dirpath, "neighbour"))
+    if len(owner) < len(neigh):
+        raise ValueError("owner list shorter than neighbour list")
+    owner = owner[: len(neigh)]
+    n_cells = int(max(owner.max(initial=-1), neigh.max(initial=-1))) + 1
+    # canonical face orientation: owner < neigh
+    lo = np.minimum(owner, neigh)
+    hi = np.maximum(owner, neigh)
+    nf = len(lo)
+    return LDUMatrix(
+        owner=lo, neigh=hi,
+        lower=np.full(nf, value_fill, dtype=dtype),
+        upper=np.full(nf, value_fill, dtype=dtype),
+        diag=np.full(n_cells, value_fill * 4, dtype=dtype),
+        name=os.path.basename(os.path.normpath(dirpath)))
+
+
 def read_openfoam_matrix_dir(dirpath: str, dtype=np.float32,
                              value_fill: float = 1.0) -> CSRMatrix:
     owner = _read_openfoam_labels(os.path.join(dirpath, "owner"))

@@ -1,6 +1,9 @@
 """Sparse kernels: XLA baselines + Pallas TPU kernels + pipeline + dispatch."""
 
-from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
+from spgrid.ops.layouts import (
+    DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL, DeviceCSC, DeviceLDU,
+    DeviceCV,
+)
 from spgrid.ops.xla import (
     gemm,
     spmm_dense,
@@ -10,6 +13,12 @@ from spgrid.ops.xla import (
     spmm_ell,
     spmm_bsr,
     spmv_sell,
+    spmv_csc,
+    spmm_csc,
+    spmv_ldu,
+    spmm_ldu,
+    spmv_cv,
+    spmm_cv,
     sddmm_coo,
     sddmm_dense,
 )
@@ -27,9 +36,11 @@ from spgrid.ops.attention import (
 from spgrid.ops.dispatch import select_format, autotune_spmm, build, spmm_fn
 
 __all__ = [
-    "DeviceCOO", "DeviceELL", "DeviceBSR", "DeviceSELL",
+    "DeviceCOO", "DeviceELL", "DeviceBSR", "DeviceSELL", "DeviceCSC",
+    "DeviceLDU", "DeviceCV",
     "gemm", "spmm_dense", "spmv_coo", "spmm_coo", "spmv_ell", "spmm_ell",
-    "spmm_bsr", "spmv_sell", "sddmm_coo", "sddmm_dense",
+    "spmm_bsr", "spmv_sell", "spmv_csc", "spmm_csc", "spmv_ldu", "spmm_ldu",
+    "spmv_cv", "spmm_cv", "sddmm_coo", "sddmm_dense",
     "bsr_spmm", "bsr_sddmm", "DeviceWCOO", "wcoo_spmm",
     "DeviceWCOOAligned", "wcoo_spmv",
     "SparseAttention", "attention_pipeline", "make_pipeline_step",

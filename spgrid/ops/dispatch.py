@@ -19,13 +19,16 @@ from spgrid.core.timing import time_kernel
 from spgrid.features.structural import MatrixFeatures, matrix_features
 from spgrid.formats.csr import CSRMatrix
 from spgrid.ops import xla as xops
-from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
+from spgrid.ops.layouts import (
+    DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL, DeviceCSC, DeviceLDU,
+    DeviceCV,
+)
 from spgrid.ops.pallas.bsr_spmm import bsr_spmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 
-FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo", "wcoo_pallas",
-           "wcoo_spmv")
+FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo", "csc", "ldu",
+           "cv_bf16", "cv_int8", "wcoo_pallas", "wcoo_spmv")
 
 
 def select_format(f: MatrixFeatures, n: int = 512) -> str:
@@ -66,6 +69,13 @@ def build(csr: CSRMatrix, fmt: str, *, bm: int = 8, bk: int = 128):
         return DeviceSELL.from_csr(csr)
     if fmt == "coo":
         return DeviceCOO.from_csr(csr)
+    if fmt == "csc":
+        return DeviceCSC.from_csr(csr)
+    if fmt == "ldu":
+        from spgrid.formats.ldu import csr_to_ldu
+        return DeviceLDU.from_ldu(csr_to_ldu(csr))
+    if fmt in ("cv_bf16", "cv_int8"):
+        return DeviceCV.from_csr(csr, mode=fmt.split("_")[1])
     if fmt == "wcoo_pallas":
         return DeviceWCOO.from_csr(csr)
     if fmt == "wcoo_spmv":
@@ -80,6 +90,10 @@ def spmm_fn(fmt: str) -> Callable:
         "bsr": xops.spmm_bsr,
         "ell": xops.spmm_ell,
         "coo": xops.spmm_coo,
+        "csc": xops.spmm_csc,
+        "ldu": xops.spmm_ldu,
+        "cv_bf16": xops.spmm_cv,
+        "cv_int8": xops.spmm_cv,
         "wcoo_pallas": wcoo_spmm,
         "wcoo_spmv": _wcoo_spmv_2d,
     }[fmt]

@@ -189,3 +189,135 @@ class DeviceSELL:
             nnz=csr.nnz,
             C=C,
         )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceCSC:
+    """Column-major sorted COO on device — the CSC traversal order.
+
+    The reference's CSC kernels (spmv_kernel_mkl_csc.cpp; lib/storage_formats/
+    csc) walk columns and scatter into y; on TPU this becomes a gather of x
+    in column order + an (unsorted-segment) scatter-add over rows.  Padding
+    entries carry row = m (out of range), col = 0, value = 0.
+    """
+
+    rows: jax.Array      # (nnz_pad,) int32, column-major order
+    cols: jax.Array      # (nnz_pad,) int32, non-decreasing
+    values: jax.Array    # (nnz_pad,) dtype
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.values), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_csc(cls, csc, pad_multiple: int = 128) -> "DeviceCSC":
+        nnz_pad = _round_up(max(csc.nnz, 1), pad_multiple)
+        rows = np.full(nnz_pad, csc.m, dtype=np.int32)
+        cols = np.zeros(nnz_pad, dtype=np.int32)
+        vals = np.zeros(nnz_pad, dtype=csc.values.dtype)
+        rows[: csc.nnz] = csc.row_idx
+        cols[: csc.nnz] = np.repeat(
+            np.arange(csc.k, dtype=np.int32), csc.col_degrees)
+        vals[: csc.nnz] = csc.values
+        return cls(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                   csc.shape, csc.nnz)
+
+    @classmethod
+    def from_csr(cls, csr: CSRMatrix, pad_multiple: int = 128) -> "DeviceCSC":
+        from spgrid.formats.csc import csr_to_csc
+        return cls.from_csc(csr_to_csc(csr), pad_multiple=pad_multiple)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceLDU:
+    """LDU face lists on device (ref: ARM spmv_kernel_ldu.cpp:63-69).
+
+    Padding faces carry owner = neigh = n_cells (out of range), values 0.
+    """
+
+    owner: jax.Array    # (nf_pad,) int32
+    neigh: jax.Array    # (nf_pad,) int32
+    lower: jax.Array    # (nf_pad,) dtype
+    upper: jax.Array    # (nf_pad,) dtype
+    diag: jax.Array     # (n_cells,) dtype
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return ((self.owner, self.neigh, self.lower, self.upper, self.diag),
+                (self.shape, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_ldu(cls, ldu, pad_multiple: int = 128) -> "DeviceLDU":
+        nf = ldu.n_faces
+        nf_pad = _round_up(max(nf, 1), pad_multiple)
+        n = ldu.n_cells
+        owner = np.full(nf_pad, n, dtype=np.int32)
+        neigh = np.full(nf_pad, n, dtype=np.int32)
+        lower = np.zeros(nf_pad, dtype=ldu.lower.dtype)
+        upper = np.zeros(nf_pad, dtype=ldu.upper.dtype)
+        owner[:nf] = ldu.owner
+        neigh[:nf] = ldu.neigh
+        lower[:nf] = ldu.lower
+        upper[:nf] = ldu.upper
+        return cls(jnp.asarray(owner), jnp.asarray(neigh), jnp.asarray(lower),
+                   jnp.asarray(upper), jnp.asarray(ldu.diag), ldu.shape,
+                   ldu.nnz)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceCV:
+    """Compressed-value COO on device (ref: lib/bitstream.c CV substrate;
+    see spgrid.formats.cv).  int8 values + per-row f32 scales, or bf16
+    values with an empty scale array.  Padding rows = m, values = 0."""
+
+    rows: jax.Array      # (nnz_pad,) int32
+    cols: jax.Array      # (nnz_pad,) int32
+    qvalues: jax.Array   # (nnz_pad,) int8 | bf16
+    scales: jax.Array    # (m+1,) f32 (int8) or (0,) (bf16)
+    shape: Tuple[int, int]
+    nnz: int
+    mode: str
+
+    def tree_flatten(self):
+        return ((self.rows, self.cols, self.qvalues, self.scales),
+                (self.shape, self.nnz, self.mode))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_cv(cls, cv, pad_multiple: int = 128) -> "DeviceCV":
+        nnz_pad = _round_up(max(cv.nnz, 1), pad_multiple)
+        rows = np.full(nnz_pad, cv.m, dtype=np.int32)
+        cols = np.zeros(nnz_pad, dtype=np.int32)
+        q = np.zeros(nnz_pad, dtype=cv.qvalues.dtype)
+        rows[: cv.nnz] = np.repeat(np.arange(cv.m, dtype=np.int32), cv.degrees)
+        cols[: cv.nnz] = cv.col_idx
+        q[: cv.nnz] = cv.qvalues
+        if cv.mode == "int8":
+            # one extra slot so padding rows (= m) gather scale 0
+            scales = np.append(cv.scales, 0.0).astype(np.float32)
+        else:
+            scales = np.zeros(0, dtype=np.float32)
+        return cls(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(q),
+                   jnp.asarray(scales), cv.shape, cv.nnz, cv.mode)
+
+    @classmethod
+    def from_csr(cls, csr: CSRMatrix, mode: str = "int8",
+                 pad_multiple: int = 128) -> "DeviceCV":
+        from spgrid.formats.cv import csr_to_cv
+        return cls.from_cv(csr_to_cv(csr, mode), pad_multiple=pad_multiple)

@@ -17,7 +17,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from spgrid.ops.layouts import DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL
+from spgrid.ops.layouts import (
+    DeviceCOO, DeviceELL, DeviceBSR, DeviceSELL, DeviceCSC, DeviceLDU,
+    DeviceCV,
+)
 
 
 # --------------------------------------------------------------------------
@@ -157,6 +160,96 @@ def spmv_sell(sell: DeviceSELL, x: jax.Array) -> jax.Array:
     # slot i holds original row perm[i]
     y = jnp.zeros((m_pad,), dtype=x.dtype).at[sell.perm].set(y_perm)
     return y[:m]
+
+
+# --------------------------------------------------------------------------
+# Compressed-value kernels (ref: lib/bitstream.c CV substrate; dequant on VPU)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("m", "mode"))
+def _spmm_cv(rows, cols, q, scales, x, m, mode):
+    if mode == "int8":
+        # scales has m+1 entries; padding rows (= m) gather scale 0
+        vals = q.astype(jnp.float32) * jnp.take(scales, rows, fill_value=0)
+    else:
+        vals = q.astype(jnp.float32)
+    prods = vals[:, None] * jnp.take(x, cols, axis=0, fill_value=0) \
+        .astype(jnp.float32)
+    return jax.ops.segment_sum(prods, rows, num_segments=m + 1)[:m] \
+        .astype(x.dtype)
+
+
+def spmm_cv(cv: DeviceCV, x: jax.Array) -> jax.Array:
+    """Y = A @ X with A's values dequantized on the fly — halves (bf16) or
+    quarters (int8) the streamed value bytes on an HBM-bound kernel."""
+    return _spmm_cv(cv.rows, cv.cols, cv.qvalues, cv.scales, x,
+                    cv.shape[0], cv.mode)
+
+
+def spmv_cv(cv: DeviceCV, x: jax.Array) -> jax.Array:
+    return spmm_cv(cv, x[:, None])[:, 0]
+
+
+# --------------------------------------------------------------------------
+# CSC kernels — column-major scatter formulation (ref: spmv_kernel_mkl_csc.cpp)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("m",))
+def _spmm_csc(rows, cols, vals, x, m):
+    prods = vals[:, None] * jnp.take(x, cols, axis=0, fill_value=0)
+    # rows are NOT sorted in column-major order — unsorted segment sum.
+    return jax.ops.segment_sum(prods, rows, num_segments=m + 1,
+                               indices_are_sorted=False)[:m]
+
+
+def spmm_csc(csc: DeviceCSC, x: jax.Array) -> jax.Array:
+    """Y = A @ X walking A column-major: gather x rows per column entry,
+    scatter-add into output rows (the CSC SpMV idiom of the reference's MKL
+    CSC kernel)."""
+    return _spmm_csc(csc.rows, csc.cols, csc.values, x, csc.shape[0])
+
+
+def spmv_csc(csc: DeviceCSC, x: jax.Array) -> jax.Array:
+    return spmm_csc(csc, x[:, None])[:, 0]
+
+
+# --------------------------------------------------------------------------
+# LDU kernel — face-loop SpMV (ref: ARM spmv_kernel_ldu.cpp:63-69)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _spmv_ldu(owner, neigh, lower, upper, diag, x):
+    n = diag.shape[0]
+    y = diag * x
+    xo = jnp.take(x, owner, fill_value=0)
+    xn = jnp.take(x, neigh, fill_value=0)
+    y = y + jax.ops.segment_sum(upper * xn, owner, num_segments=n + 1)[:n]
+    y = y + jax.ops.segment_sum(lower * xo, neigh, num_segments=n + 1,
+                                indices_are_sorted=False)[:n]
+    return y
+
+
+def spmv_ldu(ldu: DeviceLDU, x: jax.Array) -> jax.Array:
+    """y = A @ x from LDU face lists: y = diag*x; per face f,
+    y[owner] += upper[f]*x[neigh], y[neigh] += lower[f]*x[owner]."""
+    return _spmv_ldu(ldu.owner, ldu.neigh, ldu.lower, ldu.upper, ldu.diag, x)
+
+
+@jax.jit
+def _spmm_ldu(owner, neigh, lower, upper, diag, x):
+    n = diag.shape[0]
+    y = diag[:, None] * x
+    xo = jnp.take(x, owner, axis=0, fill_value=0)
+    xn = jnp.take(x, neigh, axis=0, fill_value=0)
+    y = y + jax.ops.segment_sum(upper[:, None] * xn, owner,
+                                num_segments=n + 1)[:n]
+    y = y + jax.ops.segment_sum(lower[:, None] * xo, neigh,
+                                num_segments=n + 1)[:n]
+    return y
+
+
+def spmm_ldu(ldu: DeviceLDU, x: jax.Array) -> jax.Array:
+    return _spmm_ldu(ldu.owner, ldu.neigh, ldu.lower, ldu.upper, ldu.diag, x)
 
 
 # --------------------------------------------------------------------------

@@ -11,3 +11,7 @@ from spgrid.viz.plots import (
 
 __all__ = ["load_results", "plot_gflops_by_matrix", "plot_feature_sweep",
            "plot_roofline", "plot_scaling", "spy"]
+
+from spgrid.viz.dataset import merge_result_csvs, to_ml_dataset  # noqa: E402
+
+__all__ += ["merge_result_csvs", "to_ml_dataset"]

@@ -1,0 +1,67 @@
+"""Merge benchmark result CSVs into one ML-ready dataset.
+
+Reference counterpart: ``results_visualization/clean_dataset_for_mtzortzi
+.ipynb`` — merges the per-platform result CSVs into a single 28-column
+dataset (features + measured performance per kernel/matrix/config) used to
+train performance predictors.  Here the per-run rows already carry the
+feature vector (BenchRow), so merging is: concat, tag provenance, derive
+the modeling columns, drop failed-oracle rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+
+def merge_result_csvs(paths: Sequence[str], *, drop_failed: bool = True,
+                      add_derived: bool = True):
+    """Load + concat result CSVs -> pandas.DataFrame.
+
+    Adds ``source`` (file stem, the platform/sweep tag) and, with
+    ``add_derived``, the modeling columns the notebook derives:
+    ``log_nnz``, ``log_m``, ``arithmetic_intensity`` (flops/byte),
+    ``gflops_per_device``."""
+    import pandas as pd
+
+    frames = []
+    for p in paths:
+        df = pd.read_csv(p)
+        df["source"] = os.path.splitext(os.path.basename(p))[0]
+        frames.append(df)
+    if not frames:
+        raise ValueError("no input CSVs")
+    out = pd.concat(frames, ignore_index=True)
+    if drop_failed and "errors_passed" in out:
+        out = out[out["errors_passed"] != 0].reset_index(drop=True)
+    if add_derived:
+        import numpy as np
+
+        if "csr_nnz" in out:
+            out["log_nnz"] = np.log10(out["csr_nnz"].clip(lower=1))
+        if "csr_m" in out:
+            out["log_m"] = np.log10(out["csr_m"].clip(lower=1))
+        if {"csr_nnz", "input_columns", "csr_mem_footprint_mb"} <= set(out):
+            flops = 2.0 * out["csr_nnz"] * out["input_columns"]
+            bytes_ = out["csr_mem_footprint_mb"] * 2 ** 20
+            out["arithmetic_intensity"] = flops / bytes_.clip(lower=1)
+        if {"gflops", "num_devices"} <= set(out):
+            out["gflops_per_device"] = out["gflops"] / out[
+                "num_devices"].clip(lower=1)
+    return out
+
+
+def to_ml_dataset(df, target: str = "gflops",
+                  features: Optional[Sequence[str]] = None):
+    """Split a merged frame into (X, y) numpy arrays over the feature
+    columns (the notebook's final step before model training)."""
+    default = [
+        "csr_m", "csr_k", "csr_nnz", "input_columns", "density",
+        "avg_nnz_per_row", "std_nnz_per_row", "avg_bw_scaled",
+        "std_bw_scaled", "avg_sc_scaled", "skew", "avg_num_neighbours",
+        "cross_row_similarity", "log_nnz", "log_m", "arithmetic_intensity",
+    ]
+    cols = [c for c in (features or default)
+            if c in df.columns and df[c].notna().any()]
+    sub = df.dropna(subset=cols + [target])
+    return sub[cols].to_numpy(dtype=float), sub[target].to_numpy(dtype=float)

@@ -1,0 +1,65 @@
+"""Compressed-value (CV) formats and kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spgrid.formats import random_csr, csr_to_cv, cv_to_csr, \
+    quantization_error
+from spgrid.ops import DeviceCV, spmm_cv, spmv_cv
+
+
+def test_cv_bf16_roundtrip_error():
+    csr = random_csr(64, 64, 0.1, seed=5)
+    err = quantization_error(csr, "bf16")
+    assert err < 0.01  # bf16 has ~3 decimal digits
+
+
+def test_cv_int8_roundtrip_error():
+    csr = random_csr(64, 64, 0.1, seed=5)
+    cv = csr_to_cv(csr, "int8")
+    deq = cv_to_csr(cv).values
+    rows = np.repeat(np.arange(csr.m), csr.degrees)
+    # absmax quantization bound: |err| <= scale/2 per element
+    assert np.all(np.abs(deq - csr.values) <= cv.scales[rows] / 2 + 1e-7)
+
+
+def test_cv_footprint_shrinks():
+    csr = random_csr(128, 128, 0.2, seed=6)
+    bf = csr_to_cv(csr, "bf16")
+    i8 = csr_to_cv(csr, "int8")
+    assert bf.mem_footprint < csr.mem_footprint
+    assert i8.mem_footprint < bf.mem_footprint
+    # value bytes specifically: 2x and 4x smaller
+    assert bf.qvalues.nbytes == csr.values.nbytes // 2
+    assert i8.qvalues.nbytes == csr.values.nbytes // 4
+
+
+def test_spmm_cv_matches_dequantized_gold():
+    for mode in ("bf16", "int8"):
+        csr = random_csr(96, 80, 0.08, seed=7)
+        deq = cv_to_csr(csr_to_cv(csr, mode))
+        x = np.random.default_rng(0).standard_normal((80, 16)) \
+            .astype(np.float32)
+        y = np.asarray(spmm_cv(DeviceCV.from_csr(csr, mode), jnp.asarray(x)))
+        np.testing.assert_allclose(y, deq.to_dense() @ x, rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_spmv_cv():
+    csr = random_csr(50, 50, 0.1, seed=8)
+    deq = cv_to_csr(csr_to_cv(csr, "int8"))
+    x = np.random.default_rng(1).standard_normal(50).astype(np.float32)
+    y = np.asarray(spmv_cv(DeviceCV.from_csr(csr, "int8"), jnp.asarray(x)))
+    np.testing.assert_allclose(y, deq.to_dense() @ x, rtol=2e-5, atol=2e-5)
+
+
+def test_dispatch_cv():
+    from spgrid.ops.dispatch import build, spmm_fn
+    csr = random_csr(40, 40, 0.1, seed=9)
+    x = np.random.default_rng(2).standard_normal((40, 4)).astype(np.float32)
+    for fmt in ("cv_bf16", "cv_int8"):
+        a = build(csr, fmt)
+        y = np.asarray(spmm_fn(fmt)(a, jnp.asarray(x)))[:40]
+        gold = csr.to_dense() @ x
+        # lossy: compare loosely against the uncompressed gold
+        np.testing.assert_allclose(y, gold, rtol=0.05, atol=0.05)
