@@ -45,6 +45,12 @@ def main(argv=None) -> int:
                     help=".mtx/.smtx file path(s)")
     ap.add_argument("--pipeline", nargs=3, metavar=("WK", "WQ", "WV"),
                     help="run the sparse-attention pipeline on 3 weight files")
+    ap.add_argument("--sddmm", type=int, metavar="LENGTH", default=None,
+                    help="standalone SDDMM bench on a LENGTH^2 attention "
+                         "mask (sddmm_code_bench analogue)")
+    ap.add_argument("--xla-only", action="store_true",
+                    help="use the XLA kernel instead of Pallas "
+                         "(sddmm/pipeline modes)")
     ap.add_argument("--kernel", default="bsr_pallas")
     ap.add_argument("--kernels", help="comma list (overrides --kernel)")
     ap.add_argument("--num-cols", default=None,
@@ -74,6 +80,17 @@ def main(argv=None) -> int:
     config = BenchConfig.from_env(**overrides)
     num_cols = ([int(v) for v in args.num_cols.split(",")]
                 if args.num_cols else [config.num_cols])
+
+    if args.sddmm:
+        from spgrid.bench.harness import run_sddmm
+        writer = CSVWriter(args.out, stream=sys.stderr)
+        for n in num_cols:
+            cfg = BenchConfig(**{**config.__dict__, "num_cols": n})
+            row = run_sddmm(args.sddmm, config=cfg,
+                            use_pallas=not args.xla_only,
+                            check_accuracy=not args.no_check)
+            writer.write(row)
+        return 0
 
     if args.pipeline:
         from spgrid.io import read_matrix

@@ -268,3 +268,115 @@ def run_pipeline(
             print(f"Test failed! pipeline: max_rel_diff={mres.max_rel_diff:.3e}")
     _prec_ctx.__exit__(None, None, None)
     return row
+
+
+def run_sddmm(
+    length: int,
+    config: Optional[BenchConfig] = None,
+    chip: Optional[ChipSpec] = None,
+    use_pallas: bool = True,
+    check_accuracy: bool = True,
+    mask: Optional[CSRMatrix] = None,
+) -> BenchRow:
+    """Standalone SDDMM benchmark (ref: sddmm_code_bench/sddmm_bench.cpp:
+    578-1040): generate the attention mask, fill dense X and Z with 0.1
+    (:924-930), time values = mask ⊙ (X @ Z^T), oracle-check in float64."""
+    from spgrid.ops.layouts import DeviceBSR
+    from spgrid.ops.pallas.sddmm import bsr_sddmm
+    from spgrid.ops.xla import sddmm_coo
+    from spgrid.ops.layouts import DeviceCOO
+
+    config = config or BenchConfig()
+    chip = chip or detect_chip()
+    n = config.num_cols
+    if mask is None:
+        mask = create_mask(config.sparse_attention_type, length,
+                           config.sparsity, config.band_size, config.seed,
+                           dtype=np.dtype(config.dtype))
+    _prec_ctx = jax.default_matmul_precision(config.precision)
+    _prec_ctx.__enter__()
+    dt = np.dtype(config.dtype)
+    x = np.full((mask.m, n), 0.1, dtype=dt)
+    z = np.full((mask.k, n), 0.1, dtype=dt)
+    xd, zd = jnp.asarray(x), jnp.asarray(z)
+
+    flops = spmm_flops(mask.nnz, n)
+    vb = dt.itemsize
+    bytes_accessed = float(mask.nnz * (vb + 4) + (mask.m + mask.k) * n * vb)
+    if use_pallas:
+        dev = DeviceBSR.from_csr(mask, bm=8, bk=128)
+        fn = lambda ops, q: bsr_sddmm(ops[0], q, ops[1])      # noqa: E731
+        fmt = "bsr_pallas"
+    else:
+        dev = DeviceCOO.from_csr(mask)
+        fn = lambda ops, q: sddmm_coo(ops[0], q, ops[1])      # noqa: E731
+        fmt = "coo"
+
+    timed = time_kernel_chained(
+        fn, xd, operands=(dev, zd),
+        min_time_s=config.min_time_s,
+        flops=flops, bytes_accessed=bytes_accessed,
+    )
+
+    row = BenchRow(
+        matrix_name=mask.name or f"mask_{length}",
+        kernel="sddmm_pallas" if use_pallas else "sddmm_xla",
+        fmt=fmt,
+        dtype=config.dtype,
+        device=chip.name,
+        input_columns=n,
+        csr_m=mask.m, csr_k=mask.k, csr_nnz=mask.nnz,
+        csr_mem_footprint_mb=mask.mem_footprint / (1 << 20),
+        fmt_mem_footprint_mb=_fmt_footprint(dev) / (1 << 20),
+        time=timed.time_per_iter_s,
+        iters=timed.iters,
+        gflops=timed.gflops or math.nan,
+        gbytes_per_s=timed.gbytes_per_s or math.nan,
+        sol_time=roofline_time(flops, bytes_accessed, chip, config.dtype),
+        roofline_frac=min(
+            roofline_time(flops, bytes_accessed, chip, config.dtype)
+            / timed.time_per_iter_s, 9.99),
+    )
+
+    if check_accuracy:
+        # float64 gold restricted to mask nnz
+        rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
+        gold = mask.values.astype(np.float64) * np.einsum(
+            "nd,nd->n", x[rows_idx].astype(np.float64),
+            z[mask.col_idx].astype(np.float64))
+        out = fn((dev, zd), xd)
+        if use_pallas:
+            # extract per-nnz values from the mask-aligned BSR blocks
+            test = _bsr_blocks_to_nnz(dev, np.asarray(out), mask)
+        else:
+            test = np.asarray(out)[: mask.nnz]
+        eps = config.epsilon if config.dtype != "float32" else 1e-4
+        mres = error_metrics(gold, test.astype(np.float64), epsilon=eps)
+        row.mae, row.max_ae, row.mse = mres.mae, mres.max_ae, mres.mse
+        row.mape, row.smape = mres.mape, mres.smape
+        row.lnQ_error, row.mlare, row.gmare = (mres.lnQ_error, mres.mlare,
+                                               mres.gmare)
+        row.errors_passed = int(mres.passed)
+        if not mres.passed:
+            print(f"Test failed! sddmm {mask.name}: "
+                  f"max_rel_diff={mres.max_rel_diff:.3e}")
+    _prec_ctx.__exit__(None, None, None)
+    return row
+
+
+def _bsr_blocks_to_nnz(dev, blocks_out: np.ndarray, mask: CSRMatrix) -> np.ndarray:
+    """Gather per-nnz values out of mask-aligned BSR value blocks."""
+    bm, bk = dev.bm, dev.bk
+    rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
+    cols_idx = mask.col_idx
+    br = rows_idx // bm
+    bc = cols_idx // bk
+    # map (block_row, block_col) -> block index
+    key = {}
+    block_rows = np.asarray(dev.block_rows)[: dev.num_blocks]
+    block_cols = np.asarray(dev.block_cols)[: dev.num_blocks]
+    for i, (r, c) in enumerate(zip(block_rows, block_cols)):
+        key[(int(r), int(c))] = i
+    bi = np.fromiter((key[(int(r), int(c))] for r, c in zip(br, bc)),
+                     dtype=np.int64, count=len(br))
+    return blocks_out[bi, rows_idx % bm, cols_idx % bk]

@@ -81,3 +81,17 @@ def test_cli_generate(capsys, tmp_path):
     assert rc == 0
     err = capsys.readouterr().err
     assert "csr_xla_coo" in err
+
+
+def test_run_sddmm_standalone():
+    """Standalone SDDMM bench (sddmm_code_bench analogue): both kernels
+    produce a row that passes the float64 oracle."""
+    from spgrid.bench.harness import run_sddmm
+    from spgrid.core.config import BenchConfig
+
+    cfg = BenchConfig(num_cols=32, min_time_s=0.02, sparsity=0.85, seed=3)
+    for use_pallas in (True, False):
+        row = run_sddmm(128, config=cfg, use_pallas=use_pallas)
+        assert row.errors_passed == 1
+        assert row.csr_m == 128 and row.gflops > 0
+        assert row.kernel == ("sddmm_pallas" if use_pallas else "sddmm_xla")
