@@ -55,7 +55,8 @@ def main(argv=None) -> int:
     ap.add_argument("--kernels", help="comma list (overrides --kernel)")
     ap.add_argument("--num-cols", default=None,
                     help="dense width(s), comma list (default from env/512)")
-    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16", "float64"])
     ap.add_argument("--out", help="CSV output path (append + resume)")
     ap.add_argument("--no-check", action="store_true",
                     help="skip the accuracy oracle")
@@ -71,6 +72,11 @@ def main(argv=None) -> int:
     overrides = {}
     if args.dtype:
         overrides["dtype"] = args.dtype
+        if args.dtype == "float64":
+            # fp64 path (BASELINE config 1, CPU backend): must be set before
+            # the first jax array is created.
+            import jax
+            jax.config.update("jax_enable_x64", True)
     if args.sparsity is not None:
         overrides["sparsity"] = args.sparsity
     if args.band_size is not None:

@@ -95,3 +95,24 @@ def test_run_sddmm_standalone():
         assert row.errors_passed == 1
         assert row.csr_m == 128 and row.gflops > 0
         assert row.kernel == ("sddmm_pallas" if use_pallas else "sddmm_xla")
+
+
+def test_fp64_spmv_cli():
+    """BASELINE config 1: fp64 CSR SpMV on the CPU backend via the CLI
+    (x64 mode is process-global, so drive it in a subprocess)."""
+    import subprocess, sys, os
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "spgrid.bench", "--generate",
+         "2000 2000 20 5 normal random 0.05 0 0.05 0.05 14",
+         "--kernels", "csr_xla_coo", "--dtype", "float64", "--num-cols", "1"],
+        capture_output=True, text=True, env=env, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [l for l in out.stderr.splitlines() if l.startswith("art_")]
+    assert rows, out.stderr[-2000:]
+    cols = rows[0].split(",")
+    header = [l for l in out.stderr.splitlines() if l.startswith("matrix_name")][0].split(",")
+    assert cols[header.index("dtype")] == "float64"
+    assert cols[header.index("errors_passed")] == "1"
