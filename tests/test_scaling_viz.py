@@ -63,3 +63,20 @@ def test_viz_plots(tmp_path):
 
     csr = random_csr(300, 300, density=0.02, seed=10)
     assert spy(csr, str(tmp_path / "spy.png"))
+
+
+def test_viz_cli(tmp_path):
+    from spgrid.bench.schema import BenchRow, CSVWriter
+    from spgrid.viz.__main__ import main
+
+    p = tmp_path / "r.csv"
+    w = CSVWriter(str(p))
+    for i, kern in enumerate(["a", "b"]):
+        w.write(BenchRow(matrix_name=f"m{i}", kernel=kern, gflops=10.0 + i,
+                         gbytes_per_s=5.0, density=0.1 * (i + 1),
+                         avg_nnz_per_row=4.0 + i))
+    out = tmp_path / "plots"
+    assert main([str(p), "--out-dir", str(out)]) == 0
+    assert (out / "gflops_by_matrix.png").exists()
+    assert (out / "roofline.png").exists()
+    assert (out / "sweep_density.png").exists()
