@@ -57,11 +57,19 @@ def select_format(f: MatrixFeatures, n: int = 512) -> str:
     return "wcoo_pallas"
 
 
-def build(csr: CSRMatrix, fmt: str, *, bm: int = 8, bk: int = 128):
-    """Materialize the device operand for a format name."""
+def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
+          bk: int = 128):
+    """Materialize the device operand for a format name.
+
+    bm=None picks the per-format default: 128 for the Pallas BSR kernel
+    (amortizes the per-block X-tile DMA across a full MXU-height output
+    block — 8.9x measured over bm=8), 8 for the XLA einsum path (keeps the
+    gathered (nb, bk, n) intermediate small)."""
     if fmt == "dense":
         return jnp.asarray(csr.to_dense())
     if fmt in ("bsr", "bsr_pallas"):
+        if bm is None:
+            bm = 128 if fmt == "bsr_pallas" else 8
         return DeviceBSR.from_csr(csr, bm=bm, bk=bk)
     if fmt == "ell":
         return DeviceELL.from_csr(csr)
