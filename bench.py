@@ -30,7 +30,7 @@ def main() -> int:
                       warmup_iters=5)
 
     best = None
-    for kernel in ("dense", "bsr_pallas"):
+    for kernel in ("dense", "panel_pallas", "bsr_pallas"):
         try:
             row = run_spmm(csr, kernel=kernel, config=cfg)
         except Exception as e:

@@ -44,7 +44,9 @@ KERNELS = {
     "csr_xla_coo": "coo",          # segment-sum baseline (naive CSR analogue)
     "ell_xla": "ell",              # padded-gather
     "bsr_xla": "bsr",              # batched block matmul via XLA
-    "bsr_pallas": "bsr_pallas",    # flagship Pallas MXU kernel
+    "bsr_pallas": "bsr_pallas",    # Pallas MXU block kernel (row-stationary)
+    "bsrc_pallas": "bsrc_pallas",  # C-stationary band-resident block kernel
+    "panel_pallas": "panel_pallas",  # vertical-panel kernel (mid-density)
     "dense": "dense",              # densified matmul
     "wcoo_pallas": "wcoo_pallas",  # lane-gather windowed-COO Pallas kernel
     "wcoo_spmv": "wcoo_spmv",      # fused aligned-slot SpMV (n=1)

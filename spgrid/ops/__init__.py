@@ -23,6 +23,8 @@ from spgrid.ops.xla import (
     sddmm_dense,
 )
 from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+from spgrid.ops.pallas.bsr_spmm_cstat import DeviceBSRCol, bsr_spmm_cstat
+from spgrid.ops.pallas.panel_spmm import DevicePanels, panel_spmm
 from spgrid.ops.pallas.sddmm import bsr_sddmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
@@ -41,7 +43,8 @@ __all__ = [
     "gemm", "spmm_dense", "spmv_coo", "spmm_coo", "spmv_ell", "spmm_ell",
     "spmm_bsr", "spmv_sell", "spmv_csc", "spmm_csc", "spmv_ldu", "spmm_ldu",
     "spmv_cv", "spmm_cv", "sddmm_coo", "sddmm_dense",
-    "bsr_spmm", "bsr_sddmm", "DeviceWCOO", "wcoo_spmm",
+    "bsr_spmm", "DeviceBSRCol", "bsr_spmm_cstat", "DevicePanels",
+    "panel_spmm", "bsr_sddmm", "DeviceWCOO", "wcoo_spmm",
     "DeviceWCOOAligned", "wcoo_spmv",
     "SparseAttention", "attention_pipeline", "make_pipeline_step",
     "gold_pipeline", "blocksparse_softmax",

@@ -24,34 +24,41 @@ from spgrid.ops.layouts import (
     DeviceCV,
 )
 from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+from spgrid.ops.pallas.bsr_spmm_cstat import DeviceBSRCol, bsr_spmm_cstat
+from spgrid.ops.pallas.panel_spmm import DevicePanels, panel_spmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 
-FORMATS = ("dense", "bsr_pallas", "bsr", "ell", "coo", "csc", "ldu",
-           "cv_bf16", "cv_int8", "wcoo_pallas", "wcoo_spmv")
+FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
+           "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "wcoo_pallas",
+           "wcoo_spmv")
 
 
-def select_format(f: MatrixFeatures, n: int = 512) -> str:
+def select_format(f: MatrixFeatures, n: int = 512,
+                  dense_limit_bytes: int = 1 << 31) -> str:
     """Heuristic selection from structural features (no measurement).
 
-    Rules of thumb derived from the TPU cost model:
-    - density high enough that most (8,128) tiles are occupied → densified
-      matmul is at the MXU roofline: 'dense'.
-    - moderate density / clustered columns (high neighbour count or low
-      scaled bandwidth) → BSR blocks stay dense enough for the MXU:
-      'bsr_pallas'.
-    - low skew → plain ELL padding is cheap: 'ell' (gather + VPU).
-    - otherwise → COO segment-sum (robust to any structure).
+    Regime boundaries measured on v5e (4096^2, n=512, f32; see commit log):
+    - banded / column-clustered (low scaled bandwidth): DeviceBSR block
+      skipping beats the dense matmul ~3.7x → 'bsr_pallas'.
+    - dense enough that the MXU is cheap and the densified matrix fits →
+      'dense' (the matmul's fixed cost beat every gather kernel down to
+      ~5% density at this scale).
+    - mid-density too big to densify → vertical panels ('panel_pallas'):
+      dense-matmul throughput per panel, whole-panel skipping, R*bk-panel
+      memory instead of m*k.
+    - hypersparse: ELL when row lengths are even, lane-gather WCOO when
+      skewed.
     """
     density = f.density
-    if density >= 0.25:
-        return "dense"
-    # Estimated occupancy of an (8, 128) tile: nnz per tile ≈ density*8*128,
-    # boosted by column clustering.
-    clustering = 1.0 + f.avg_num_neighbours + 4.0 * f.cross_row_similarity
-    est_block_occupancy = min(1.0, density * clustering)
-    if est_block_occupancy * 8 * 128 >= 24:
+    dense_bytes = f.m * f.n * 4
+    banded = f.avg_bw_scaled < 0.15 and f.avg_nnz_per_row >= 8
+    if banded and density < 0.25:
         return "bsr_pallas"
+    if density >= 0.05 and dense_bytes <= dense_limit_bytes:
+        return "dense"
+    if density >= 0.02:
+        return "panel_pallas"
     if f.skew <= 2.0 and f.avg_nnz_per_row < 64:
         return "ell"
     return "wcoo_pallas"
@@ -71,6 +78,10 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         if bm is None:
             bm = 128 if fmt == "bsr_pallas" else 8
         return DeviceBSR.from_csr(csr, bm=bm, bk=bk)
+    if fmt == "bsrc_pallas":
+        return DeviceBSRCol.from_csr(csr, bm=bm or 128, bk=bk)
+    if fmt == "panel_pallas":
+        return DevicePanels.from_csr(csr, bk=bk)
     if fmt == "ell":
         return DeviceELL.from_csr(csr)
     if fmt == "sell":
@@ -95,6 +106,8 @@ def spmm_fn(fmt: str) -> Callable:
     return {
         "dense": xops.spmm_dense,
         "bsr_pallas": bsr_spmm,
+        "bsrc_pallas": bsr_spmm_cstat,
+        "panel_pallas": panel_spmm,
         "bsr": xops.spmm_bsr,
         "ell": xops.spmm_ell,
         "coo": xops.spmm_coo,
@@ -122,7 +135,7 @@ class AutotuneResult:
 def autotune_spmm(
     csr: CSRMatrix,
     x: jax.Array,
-    candidates=("dense", "bsr_pallas", "ell", "coo"),
+    candidates=("dense", "bsr_pallas", "panel_pallas", "ell", "coo"),
     *,
     warmup_iters: int = 3,
     min_time_s: float = 0.05,
