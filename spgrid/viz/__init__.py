@@ -12,6 +12,6 @@ from spgrid.viz.plots import (
 __all__ = ["load_results", "plot_gflops_by_matrix", "plot_feature_sweep",
            "plot_roofline", "plot_scaling", "spy"]
 
-from spgrid.viz.dataset import merge_result_csvs, to_ml_dataset  # noqa: E402
+from spgrid.viz.dataset import merge_result_csvs, to_ml_dataset, twin_ape  # noqa: E402
 
-__all__ += ["merge_result_csvs", "to_ml_dataset"]
+__all__ += ["merge_result_csvs", "to_ml_dataset", "twin_ape"]

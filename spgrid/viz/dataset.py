@@ -65,3 +65,35 @@ def to_ml_dataset(df, target: str = "gflops",
             if c in df.columns and df[c].notna().any()]
     sub = df.dropna(subset=cols + [target])
     return sub[cols].to_numpy(dtype=float), sub[target].to_numpy(dtype=float)
+
+
+def twin_ape(df, *, twin_suffix: str = "_twin", key: str = "matrix_name",
+             metric: str = "gflops"):
+    """Validation-vs-artificial-twin APE comparison.
+
+    Reference counterpart: ``results_visualization/validation_plotter-
+    SPLITTING.ipynb`` (outputs like 10_validation_vs_best_friend_APE.csv) —
+    the statistical validation of the synthetic-matrix methodology: for each
+    real validation matrix and its feature-matched artificial twin, the
+    absolute percentage error of the measured metric, per kernel.
+
+    Rows whose ``key`` ends in ``twin_suffix`` are twins of the row with the
+    suffix stripped.  Returns a DataFrame with columns
+    (matrix, kernel, real, twin, ape) plus a ``mape`` attribute."""
+    import pandas as pd
+
+    twins = df[df[key].str.endswith(twin_suffix)].copy()
+    twins["base"] = twins[key].str[: -len(twin_suffix)]
+    reals = df[~df[key].str.endswith(twin_suffix)]
+    merged = reals.merge(twins, left_on=[key, "kernel"],
+                         right_on=["base", "kernel"],
+                         suffixes=("_real", "_twin"))
+    out = pd.DataFrame({
+        "matrix": merged[key + "_real"],
+        "kernel": merged["kernel"],
+        "real": merged[metric + "_real"],
+        "twin": merged[metric + "_twin"],
+    })
+    out["ape"] = (out["twin"] - out["real"]).abs() / out["real"].abs() * 100
+    out.attrs["mape"] = float(out["ape"].mean()) if len(out) else float("nan")
+    return out

@@ -60,3 +60,18 @@ def test_merge_result_csvs(tmp_path):
     assert "arithmetic_intensity" in df and "gflops_per_device" in df
     X, y = to_ml_dataset(df)
     assert X.shape[0] == 1 and y[0] == 100.0
+
+
+def test_twin_ape():
+    import pandas as pd
+    from spgrid.viz import twin_ape
+
+    df = pd.DataFrame({
+        "matrix_name": ["scircuit", "scircuit_twin", "mawi", "mawi_twin"],
+        "kernel": ["bsr"] * 4,
+        "gflops": [100.0, 90.0, 50.0, 60.0],
+    })
+    out = twin_ape(df)
+    assert len(out) == 2
+    assert abs(out[out.matrix == "scircuit"].ape.iloc[0] - 10.0) < 1e-9
+    assert abs(out.attrs["mape"] - 15.0) < 1e-9
