@@ -306,7 +306,9 @@ def run_sddmm(
     vb = dt.itemsize
     bytes_accessed = float(mask.nnz * (vb + 4) + (mask.m + mask.k) * n * vb)
     if use_pallas:
-        dev = DeviceBSR.from_csr(mask, bm=8, bk=128)
+        # full-MXU-height mask blocks: bm=8 gives ~15x more grid steps and
+        # lands on the ~300ns/step floor (measured 4.3ms vs 0.4ms at 4096)
+        dev = DeviceBSR.from_csr(mask, bm=128, bk=128)
         fn = lambda ops, q: bsr_sddmm(ops[0], q, ops[1])      # noqa: E731
         fmt = "bsr_pallas"
     else:
@@ -341,11 +343,17 @@ def run_sddmm(
     )
 
     if check_accuracy:
-        # float64 gold restricted to mask nnz
+        # float64 gold restricted to mask nnz, chunked to bound the
+        # (chunk, n) f64 intermediates on multi-Mnnz masks
         rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
-        gold = mask.values.astype(np.float64) * np.einsum(
-            "nd,nd->n", x[rows_idx].astype(np.float64),
-            z[mask.col_idx].astype(np.float64))
+        gold = np.empty(mask.nnz, dtype=np.float64)
+        chunk = 1 << 20
+        for s in range(0, mask.nnz, chunk):
+            e = min(s + chunk, mask.nnz)
+            gold[s:e] = np.einsum(
+                "nd,nd->n", x[rows_idx[s:e]].astype(np.float64),
+                z[mask.col_idx[s:e]].astype(np.float64))
+        gold *= mask.values.astype(np.float64)
         out = fn((dev, zd), xd)
         if use_pallas:
             # extract per-nnz values from the mask-aligned BSR blocks
@@ -371,14 +379,14 @@ def _bsr_blocks_to_nnz(dev, blocks_out: np.ndarray, mask: CSRMatrix) -> np.ndarr
     bm, bk = dev.bm, dev.bk
     rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
     cols_idx = mask.col_idx
-    br = rows_idx // bm
-    bc = cols_idx // bk
-    # map (block_row, block_col) -> block index
-    key = {}
-    block_rows = np.asarray(dev.block_rows)[: dev.num_blocks]
-    block_cols = np.asarray(dev.block_cols)[: dev.num_blocks]
-    for i, (r, c) in enumerate(zip(block_rows, block_cols)):
-        key[(int(r), int(c))] = i
-    bi = np.fromiter((key[(int(r), int(c))] for r, c in zip(br, bc)),
-                     dtype=np.int64, count=len(br))
+    br = rows_idx.astype(np.int64) // bm
+    bc = cols_idx.astype(np.int64) // bk
+    # dense (block_row, block_col) -> block index lookup table
+    block_rows = np.asarray(dev.block_rows)[: dev.num_blocks].astype(np.int64)
+    block_cols = np.asarray(dev.block_cols)[: dev.num_blocks].astype(np.int64)
+    kb = -(-mask.k // bk)
+    lut = np.full((dev.mb + 1) * kb, -1, dtype=np.int64)
+    lut[block_rows * kb + block_cols] = np.arange(dev.num_blocks)
+    bi = lut[br * kb + bc]
+    assert (bi >= 0).all()
     return blocks_out[bi, rows_idx % bm, cols_idx % bk]

@@ -28,18 +28,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(rows_ref, cols_ref, mask_ref, q_ref, k_ref, out_ref):
+def _kernel(rows_ref, cols_ref, mask_ref, q_ref, kt_ref, out_ref):
+    # kt is K^T, so the step is a native (bm, dt) @ (dt, bk) MXU matmul —
+    # contracting dim 1 of both operands instead would force a per-step
+    # K-tile transpose relayout (measured 8x slower).
     dt = pl.program_id(1)
 
     @pl.when(dt == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc = jax.lax.dot_general(
-        q_ref[:], k_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    acc = jnp.dot(q_ref[:], kt_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] += acc[None]
 
     @pl.when(dt == pl.num_programs(1) - 1)
@@ -56,7 +55,7 @@ def _bsr_sddmm(block_rows, block_cols, mask_blocks, q, k, *, d_tile, interpret):
     mq_pad = _round_up(mq, bm) + bm      # +1 sacrificial row-panel for padding
     mk_pad = _round_up(mk, bk)
     q = jnp.pad(q, ((0, mq_pad - mq), (0, d_pad - d)))
-    k = jnp.pad(k, ((0, mk_pad - mk), (0, d_pad - d)))
+    kt = jnp.pad(k, ((0, mk_pad - mk), (0, d_pad - d))).T  # (d_pad, mk_pad)
     num_d_tiles = d_pad // d_tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -65,7 +64,7 @@ def _bsr_sddmm(block_rows, block_cols, mask_blocks, q, k, *, d_tile, interpret):
         in_specs=[
             pl.BlockSpec((1, bm, bk), lambda b, dt, rows, cols: (b, 0, 0)),
             pl.BlockSpec((bm, d_tile), lambda b, dt, rows, cols: (rows[b], dt)),
-            pl.BlockSpec((bk, d_tile), lambda b, dt, rows, cols: (cols[b], dt)),
+            pl.BlockSpec((d_tile, bk), lambda b, dt, rows, cols: (dt, cols[b])),
         ],
         out_specs=pl.BlockSpec(
             (1, bm, bk), lambda b, dt, rows, cols: (b, 0, 0)
@@ -87,7 +86,7 @@ def _bsr_sddmm(block_rows, block_cols, mask_blocks, q, k, *, d_tile, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_rows, block_cols, mask_blocks, q, k)
+    )(block_rows, block_cols, mask_blocks, q, kt)
     return out.astype(q.dtype)
 
 
