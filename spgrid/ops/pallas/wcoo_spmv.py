@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spgrid.formats.wcoo import csr_to_wcoo_aligned, LANE
 
-GROUPS_PER_STEP = 64
+GROUPS_PER_STEP = 256    # fully unrolled; measured 283us@64 -> 225us@256
 
 
 def _kernel(gsw_ref, gsub_ref, cols_ref, vals_ref, x2_ref, y2_ref):
@@ -56,7 +56,10 @@ def _kernel(gsw_ref, gsub_ref, cols_ref, vals_ref, x2_ref, y2_ref):
         y2_ref[pl.ds(sr, 1), :] += contrib
         return 0
 
-    jax.lax.fori_loop(0, GROUPS_PER_STEP, body, 0)
+    # Full unroll: Mosaic's rolled scf.for carries ~410ns/iteration of loop
+    # overhead, 6.8x the body's cost (measured 1924us -> 283us at 100k^2,
+    # 20 nnz/row).  Mosaic only supports unroll=1 or full unroll.
+    jax.lax.fori_loop(0, GROUPS_PER_STEP, body, 0, unroll=GROUPS_PER_STEP)
 
 
 @functools.partial(jax.jit, static_argnames=("m2", "interpret"))
