@@ -34,6 +34,21 @@ def _largest_factor_le(n: int, limit: int) -> int:
     return 1
 
 
+def available_devices(n_devices: int):
+    """Devices for an n-device mesh, falling back to the CPU backend.
+
+    On single-chip dev boxes the default backend exposes one device even
+    when XLA_FLAGS=--xla_force_host_platform_device_count provides virtual
+    CPU devices; sharding code paths validate there."""
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    return devices[:n_devices]
+
+
 def make_mesh(
     axis_names: Sequence[str] = ("data", "model"),
     shape: Optional[Sequence[int]] = None,

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from spgrid.core.timing import time_kernel_chained
-from spgrid.dist.mesh import make_mesh
+from spgrid.dist.mesh import make_mesh, available_devices
 from spgrid.dist.partition import partition_bsr
 from spgrid.dist.spmm import make_dist_spmm
 from spgrid.formats.csr import CSRMatrix
@@ -55,12 +55,15 @@ def scaling_study(
     """
     points: List[ScalingPoint] = []
     base_rate = None
+    # One backend for every point: mixing the real chip for d=1 with
+    # virtual CPU devices for d>1 would make efficiencies meaningless.
+    pool = available_devices(max(device_counts))
     for d in device_counts:
-        if d > len(jax.devices()):
+        devices = pool[:d]
+        if d > len(devices):
             break
         csr = matrix_for(d).astype(np.dtype(dtype))
-        mesh = make_mesh(("data", "model"), shape=(1, d),
-                         devices=jax.devices()[:d])
+        mesh = make_mesh(("data", "model"), shape=(1, d), devices=devices)
         sharded = partition_bsr(csr, d, bm=8, bk=128)
         fn = make_dist_spmm(mesh, sharded, x_partition=x_partition,
                             use_pallas=use_pallas, data_axis="data")
