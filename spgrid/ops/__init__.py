@@ -27,6 +27,7 @@ from spgrid.ops.pallas.bsr_spmm_cstat import DeviceBSRCol, bsr_spmm_cstat
 from spgrid.ops.pallas.panel_spmm import DevicePanels, panel_spmm
 from spgrid.ops.pallas.sddmm import bsr_sddmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
+from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, wcoo_spmm_aligned
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 from spgrid.ops.attention import (
     SparseAttention,
@@ -45,6 +46,7 @@ __all__ = [
     "spmv_cv", "spmm_cv", "sddmm_coo", "sddmm_dense",
     "bsr_spmm", "DeviceBSRCol", "bsr_spmm_cstat", "DevicePanels",
     "panel_spmm", "bsr_sddmm", "DeviceWCOO", "wcoo_spmm",
+    "DeviceWCOOBands", "wcoo_spmm_aligned",
     "DeviceWCOOAligned", "wcoo_spmv",
     "SparseAttention", "attention_pipeline", "make_pipeline_step",
     "gold_pipeline", "blocksparse_softmax",

@@ -27,11 +27,13 @@ from spgrid.ops.pallas.bsr_spmm import bsr_spmm
 from spgrid.ops.pallas.bsr_spmm_cstat import DeviceBSRCol, bsr_spmm_cstat
 from spgrid.ops.pallas.panel_spmm import DevicePanels, panel_spmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
+from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, \
+    wcoo_spmm_aligned
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "wcoo_pallas",
-           "wcoo_spmv")
+           "wcoo_bands", "wcoo_spmv")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -52,13 +54,20 @@ def select_format(f: MatrixFeatures, n: int = 512,
     """
     density = f.density
     dense_bytes = f.m * f.n * 4
-    banded = f.avg_bw_scaled < 0.15 and f.avg_nnz_per_row >= 8
-    if banded and density < 0.25:
+    banded = f.avg_bw_scaled < 0.15
+    # estimated occupancy of the (128,128) blocks a banded matrix produces:
+    # a row's nnz land within its bandwidth, so blocks along the band hold
+    # ~avg_nnz*128 of 128*(bw+128) slots
+    block_occ = f.avg_nnz_per_row * 128 / (128 * (f.avg_bw + 128))
+    if banded and density < 0.25 and block_occ >= 0.05:
         return "bsr_pallas"
     if density >= 0.05 and dense_bytes <= dense_limit_bytes:
         return "dense"
     if density >= 0.02:
         return "panel_pallas"
+    if banded:
+        # hypersparse but column-clustered: aligned slot groups pack well
+        return "wcoo_bands"
     if f.skew <= 2.0 and f.avg_nnz_per_row < 64:
         return "ell"
     return "wcoo_pallas"
@@ -97,6 +106,8 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceCV.from_csr(csr, mode=fmt.split("_")[1])
     if fmt == "wcoo_pallas":
         return DeviceWCOO.from_csr(csr)
+    if fmt == "wcoo_bands":
+        return DeviceWCOOBands.from_csr(csr)
     if fmt == "wcoo_spmv":
         return DeviceWCOOAligned.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
@@ -116,6 +127,7 @@ def spmm_fn(fmt: str) -> Callable:
         "cv_bf16": xops.spmm_cv,
         "cv_int8": xops.spmm_cv,
         "wcoo_pallas": wcoo_spmm,
+        "wcoo_bands": wcoo_spmm_aligned,
         "wcoo_spmv": _wcoo_spmv_2d,
     }[fmt]
 

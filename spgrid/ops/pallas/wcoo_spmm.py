@@ -36,11 +36,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(W, win_ref, rb_ref, sub_ref, first_ref,
+def _kernel(W, win_ref, rb_ref, subfirst_ref,
             cols_ref, rows_ref, vals_ref, xt_ref, out_ref):
     c = pl.program_id(1)
+    # sub/first ride as an (8, 2*8) SMEM-blocked input (8 chunk rows x
+    # [sub, first] pairs x 8-chunk block): keeping them in scalar-prefetch
+    # SMEM alongside win/rb overflows the ~1MB SMEM on ~100k-row matrices.
+    crow = (c // 8) % 8
+    sub_c = subfirst_ref[crow, 2 * (c % 8)]
+    first_c = subfirst_ref[crow, 2 * (c % 8) + 1]
 
-    @pl.when(first_ref[c] == 1)
+    @pl.when(first_c == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -63,7 +69,7 @@ def _kernel(W, win_ref, rb_ref, sub_ref, first_ref,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    off = sub_ref[c] * W
+    off = sub_c * W
     out_ref[:, pl.ds(off, W)] += contrib
 
 
@@ -77,18 +83,26 @@ def _wcoo_spmm(c_win, c_rb, c_sub, c_first, cols, rows, vals, xt,
     n_pad, k_pad = xt.shape
     num_n_tiles = n_pad // ns
 
+    # interleave [sub, first] pairs, 8 chunks per row, 8 rows per block
+    padc = (-nchunks) % 64
+    sub_p = jnp.pad(c_sub, (0, padc))
+    first_p = jnp.pad(c_first, (0, padc))
+    subfirst = jnp.stack([sub_p, first_p], axis=1).reshape(-1, 16)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(num_n_tiles, nchunks),
         in_specs=[
-            pl.BlockSpec((8, W), lambda nt, c, win, rb, sub, first: (c // 8, 0)),
-            pl.BlockSpec((8, W), lambda nt, c, win, rb, sub, first: (c // 8, 0)),
-            pl.BlockSpec((8, W), lambda nt, c, win, rb, sub, first: (c // 8, 0)),
+            pl.BlockSpec((8, 16), lambda nt, c, win, rb: (c // 64, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, W), lambda nt, c, win, rb: (c // 8, 0)),
+            pl.BlockSpec((8, W), lambda nt, c, win, rb: (c // 8, 0)),
+            pl.BlockSpec((8, W), lambda nt, c, win, rb: (c // 8, 0)),
             pl.BlockSpec((ns, W),
-                         lambda nt, c, win, rb, sub, first: (nt, win[c])),
+                         lambda nt, c, win, rb: (nt, win[c])),
         ],
         out_specs=pl.BlockSpec(
-            (ns, R), lambda nt, c, win, rb, sub, first: (nt, rb[c])),
+            (ns, R), lambda nt, c, win, rb: (nt, rb[c])),
     )
 
     out = pl.pallas_call(
@@ -105,7 +119,7 @@ def _wcoo_spmm(c_win, c_rb, c_sub, c_first, cols, rows, vals, xt,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(c_win, c_rb, c_sub, c_first, cols, rows, vals, xt)
+    )(c_win, c_rb, subfirst, cols, rows, vals, xt)
     return out
 
 

@@ -85,3 +85,25 @@ def test_select_format_regimes():
     assert select_format(matrix_features(dense_m)) == "dense"
     hyper = random_csr(2048, 2048, 0.001, seed=1)
     assert select_format(matrix_features(hyper)) in ("ell", "wcoo_pallas")
+
+
+def test_wcoo_bands_kernel():
+    from spgrid.ops import DeviceWCOOBands, wcoo_spmm_aligned
+    csr = random_csr(300, 500, 0.01, seed=7)
+    dev = DeviceWCOOBands.from_csr(csr, band_rows=256)
+    x = np.random.default_rng(2).random((500, 40)).astype(np.float32)
+    y = np.asarray(wcoo_spmm_aligned(dev, jnp.asarray(x)))
+    np.testing.assert_allclose(y, csr.to_dense() @ x, rtol=1e-4, atol=1e-4)
+    # spmv path
+    yv = np.asarray(wcoo_spmm_aligned(dev, jnp.asarray(x[:, 0])))
+    np.testing.assert_allclose(yv, csr.to_dense() @ x[:, 0], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_dispatch_wcoo_bands():
+    from spgrid.ops.dispatch import build, spmm_fn
+    csr = random_csr(200, 200, 0.01, seed=8)
+    x = np.random.default_rng(3).random((200, 16)).astype(np.float32)
+    a = build(csr, "wcoo_bands")
+    y = np.asarray(spmm_fn("wcoo_bands")(a, jnp.asarray(x)))[:200]
+    np.testing.assert_allclose(y, csr.to_dense() @ x, rtol=1e-4, atol=1e-4)
