@@ -10,6 +10,8 @@ import itertools
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from spgrid.bench.harness import run_spmm, run_pipeline
@@ -34,7 +36,8 @@ def main():
             rows, rows, avg, round(avg / 3, 4), "normal", 14, "random",
             bw, skew, 0.05, 0.05,
             name=f"synth_4MB_a{avg}_b{bw:g}_s{skew}")
-        for kernel in ("wcoo_pallas", "ell_xla"):
+        for kernel in ("wcoo_pallas", "wcoo_bands", "panel_pallas", "ell_xla",
+                       "auto"):
             if (csr.name, kernel, "512") in done:
                 continue
             try:
@@ -73,7 +76,7 @@ def main():
     csr = artificial_matrix_generation(512, 512, 256, 32, "normal", 14,
                                        "random", 1.0, 0, 0.05, 0.05,
                                        name="dlmc_twin_512_0.5")
-    for kernel in ("dense", "bsr_pallas", "gemm_bound"):
+    for kernel in ("dense", "bsr_pallas", "panel_pallas", "gemm_bound"):
         if (csr.name, kernel, "512") in done3:
             continue
         row = run_spmm(csr, kernel=kernel,
