@@ -21,10 +21,35 @@ from spgrid.gen import artificial_matrix_generation, GenParams
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
                    "tpu-v5e")
+FAILED = os.path.join(OUT, "failed_attempts.txt")
+MAX_ATTEMPTS = 2
+
+
+def _attempts():
+    counts = {}
+    if os.path.exists(FAILED):
+        for line in open(FAILED):
+            key = line.strip()
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def _record_fail(key: str, err: Exception):
+    with open(FAILED, "a") as f:
+        f.write(key + "\n")
+    # a failed compile/alloc can poison the process's device memory
+    # (observed: every subsequent run hits RESOURCE_EXHAUSTED) — exit and
+    # let the retry wrapper restart with resume, the reference's
+    # one-process-per-run + retry-on-error discipline (run.sh:357-394)
+    if "RESOURCE_EXHAUSTED" in str(err):
+        print(f"device poisoned after {key}; exiting for restart",
+              flush=True)
+        sys.exit(2)
 
 
 def main():
     os.makedirs(OUT, exist_ok=True)
+    attempts = _attempts()
 
     # --- 1. SpMM structure grid (synthetic medium-dataset slice) ----------
     w = CSVWriter(os.path.join(OUT, "spmm_structure_grid.csv"))
@@ -38,7 +63,9 @@ def main():
             name=f"synth_4MB_a{avg}_b{bw:g}_s{skew}")
         for kernel in ("wcoo_pallas", "wcoo_bands", "panel_pallas", "ell_xla",
                        "auto"):
-            if (csr.name, kernel, "512") in done:
+            key = f"{csr.name}|{kernel}|512"
+            if (csr.name, kernel, "512") in done \
+                    or attempts.get(key, 0) >= MAX_ATTEMPTS:
                 continue
             try:
                 row = run_spmm(csr, kernel=kernel, config=cfg)
@@ -49,6 +76,7 @@ def main():
             except Exception as e:
                 print(f"FAIL {csr.name} {kernel}: {type(e).__name__} {e}",
                       flush=True)
+                _record_fail(key, e)
 
     # --- 2. SpMV rows ------------------------------------------------------
     w2 = CSVWriter(os.path.join(OUT, "spmv.csv"))
@@ -58,8 +86,10 @@ def main():
         csr = artificial_matrix_generation(
             100000, 100000, avg, round(avg / 3, 4), "normal", 14, "random",
             bw, 0, 0.05, 0.05, name=f"synth_100k_a{avg}_b{bw:g}")
-        for kernel in ("wcoo_spmv", "wcoo_pallas"):
-            if (csr.name, kernel, "1") in done2:
+        for kernel in ("wcoo_spmv", "wcoo_bands", "wcoo_pallas"):
+            key = f"{csr.name}|{kernel}|1"
+            if (csr.name, kernel, "1") in done2 \
+                    or attempts.get(key, 0) >= MAX_ATTEMPTS:
                 continue
             try:
                 row = run_spmm(csr, kernel=kernel, config=cfgv)
@@ -69,6 +99,7 @@ def main():
             except Exception as e:
                 print(f"FAIL {csr.name} {kernel}: {type(e).__name__} {e}",
                       flush=True)
+                _record_fail(key, e)
 
     # --- 3. DLMC-twin SpMM (the headline config) ---------------------------
     w3 = CSVWriter(os.path.join(OUT, "spmm_dlmc_twin.csv"))
@@ -77,12 +108,18 @@ def main():
                                        "random", 1.0, 0, 0.05, 0.05,
                                        name="dlmc_twin_512_0.5")
     for kernel in ("dense", "bsr_pallas", "panel_pallas", "gemm_bound"):
-        if (csr.name, kernel, "512") in done3:
+        key = f"{csr.name}|{kernel}|512"
+        if (csr.name, kernel, "512") in done3 \
+                or attempts.get(key, 0) >= MAX_ATTEMPTS:
             continue
-        row = run_spmm(csr, kernel=kernel,
-                       config=BenchConfig(num_cols=512, min_time_s=0.5))
-        w3.write(row)
-        print(f"OK dlmc {kernel}: {row.gflops:.0f} GFLOPS", flush=True)
+        try:
+            row = run_spmm(csr, kernel=kernel,
+                           config=BenchConfig(num_cols=512, min_time_s=0.5))
+            w3.write(row)
+            print(f"OK dlmc {kernel}: {row.gflops:.0f} GFLOPS", flush=True)
+        except Exception as e:
+            print(f"FAIL dlmc {kernel}: {type(e).__name__} {e}", flush=True)
+            _record_fail(key, e)
 
     # --- 4. Attention pipeline --------------------------------------------
     w4 = CSVWriter(os.path.join(OUT, "pipeline.csv"))
@@ -93,14 +130,24 @@ def main():
                                             "random", 1.0, 0, 0.05, 0.05,
                                             name=f"dlmc512_{s}")
     for sparsity in (0.5, 0.9, 0.95):
-        key = (f"pipeline_dlmc512_1", f"pipeline_pallas", "512")
+        name = f"pipeline_dlmc512_sp{sparsity:g}"
+        key = f"{name}|pipeline_pallas|512"
+        if (name, "pipeline_pallas", "512") in done4 \
+                or attempts.get(key, 0) >= MAX_ATTEMPTS:
+            continue
         cfgp = BenchConfig(num_cols=512, sparsity=sparsity, band_size=16,
                            min_time_s=0.5)
-        row = run_pipeline(weight(1), weight(2), weight(3), config=cfgp)
-        row.matrix_name = f"pipeline_dlmc512_sp{sparsity:g}"
-        w4.write(row)
-        print(f"OK pipeline sp={sparsity}: {row.gflops:.0f} GFLOPS total",
-              flush=True)
+        try:
+            row = run_pipeline(weight(1), weight(2), weight(3), config=cfgp)
+            row.matrix_name = name
+            row.kernel = "pipeline_pallas"
+            w4.write(row)
+            print(f"OK pipeline sp={sparsity}: {row.gflops:.0f} GFLOPS total",
+                  flush=True)
+        except Exception as e:
+            print(f"FAIL pipeline sp={sparsity}: {type(e).__name__} {e}",
+                  flush=True)
+            _record_fail(key, e)
 
     # --- plots -------------------------------------------------------------
     try:

@@ -106,6 +106,7 @@ def main(argv=None) -> int:
         for n in num_cols:
             cfg = BenchConfig(**{**config.__dict__, "num_cols": n})
             row = run_pipeline(wk, wq, wv, config=cfg,
+                               use_pallas=not args.xla_only,
                                check_accuracy=not args.no_check)
             writer.write(row)
         return 0

@@ -47,6 +47,7 @@ KERNELS = {
     "bsr_pallas": "bsr_pallas",    # Pallas MXU block kernel (row-stationary)
     "bsrc_pallas": "bsrc_pallas",  # C-stationary band-resident block kernel
     "panel_pallas": "panel_pallas",  # vertical-panel kernel (mid-density)
+    "wcoo_bands": "wcoo_bands",    # aligned slot groups (banded hypersparse)
     "dense": "dense",              # densified matmul
     "wcoo_pallas": "wcoo_pallas",  # lane-gather windowed-COO Pallas kernel
     "wcoo_spmv": "wcoo_spmv",      # fused aligned-slot SpMV (n=1)
@@ -357,7 +358,7 @@ def run_sddmm(
         out = fn((dev, zd), xd)
         if use_pallas:
             # extract per-nnz values from the mask-aligned BSR blocks
-            test = _bsr_blocks_to_nnz(dev, np.asarray(out), mask)
+            test = _bsr_blocks_to_nnz(dev, np.asarray(out), mask, rows_idx)
         else:
             test = np.asarray(out)[: mask.nnz]
         eps = config.epsilon if config.dtype != "float32" else 1e-4
@@ -374,10 +375,10 @@ def run_sddmm(
     return row
 
 
-def _bsr_blocks_to_nnz(dev, blocks_out: np.ndarray, mask: CSRMatrix) -> np.ndarray:
+def _bsr_blocks_to_nnz(dev, blocks_out: np.ndarray, mask: CSRMatrix,
+                       rows_idx: np.ndarray) -> np.ndarray:
     """Gather per-nnz values out of mask-aligned BSR value blocks."""
     bm, bk = dev.bm, dev.bk
-    rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
     cols_idx = mask.col_idx
     br = rows_idx.astype(np.int64) // bm
     bc = cols_idx.astype(np.int64) // bk

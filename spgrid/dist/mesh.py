@@ -43,9 +43,13 @@ def available_devices(n_devices: int):
     devices = jax.devices()
     if len(devices) < n_devices:
         try:
-            devices = jax.devices("cpu")
+            cpu = jax.devices("cpu")
         except RuntimeError:
-            pass
+            cpu = []
+        # only downgrade to the CPU backend if it actually has more devices
+        # (virtual-device dev boxes), never away from a real multi-chip pool
+        if len(cpu) > len(devices):
+            devices = cpu
     return devices[:n_devices]
 
 

@@ -54,6 +54,8 @@ def scaling_study(
     return the same matrix for every d.
     """
     points: List[ScalingPoint] = []
+    if not device_counts:
+        return points
     base_rate = None
     # One backend for every point: mixing the real chip for d=1 with
     # virtual CPU devices for d>1 would make efficiencies meaningless.

@@ -63,7 +63,12 @@ def select_format(f: MatrixFeatures, n: int = 512,
         return "bsr_pallas"
     if density >= 0.05 and dense_bytes <= dense_limit_bytes:
         return "dense"
-    if density >= 0.02:
+    # panels only pay off if a useful fraction of (2048,128) panels is
+    # empty; for unstructured matrices every panel holds ~density*R*bk nnz
+    # and DevicePanels would allocate the full dense footprint
+    est_panel_occupancy = min(1.0, density * 2048 * 128)
+    panel_bytes = est_panel_occupancy * dense_bytes
+    if density >= 0.02 and panel_bytes <= dense_limit_bytes:
         return "panel_pallas"
     if banded:
         # hypersparse but column-clustered: aligned slot groups pack well

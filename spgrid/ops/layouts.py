@@ -77,7 +77,17 @@ class DeviceELL:
 
     @classmethod
     def from_csr(cls, csr: CSRMatrix, row_multiple: int = 8,
-                 width_multiple: int = 8) -> "DeviceELL":
+                 width_multiple: int = 8,
+                 max_bytes: int = 4 << 30) -> "DeviceELL":
+        # ELL width = max row degree: a skewed matrix (one 5000-nnz row)
+        # would silently allocate m*width dense-scale arrays and OOM the
+        # device; fail fast instead so sweeps can skip cleanly.
+        width = int(np.diff(csr.row_ptr).max(initial=1))
+        est = csr.m * width * (4 + csr.values.dtype.itemsize)
+        if est > max_bytes:
+            raise ValueError(
+                f"ELL padding would need ~{est/2**30:.1f} GiB "
+                f"(m={csr.m}, width={width}); matrix too skewed for ELL")
         ell = csr_to_ell(csr, pad_multiple=width_multiple)
         m_pad = _round_up(csr.m, row_multiple)
         cols = np.zeros((m_pad, ell.width), dtype=np.int32)

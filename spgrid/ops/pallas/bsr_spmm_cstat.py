@@ -40,11 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgrid.formats.csr import CSRMatrix
+from spgrid.ops.layouts import _round_up
 from spgrid.formats.bsr import csr_to_bsr
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @jax.tree_util.register_pytree_node_class

@@ -38,10 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgrid.formats.csr import CSRMatrix
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from spgrid.ops.layouts import _round_up
 
 
 @jax.tree_util.register_pytree_node_class

@@ -37,13 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgrid.formats.csr import CSRMatrix
+from spgrid.ops.layouts import _round_up
 from spgrid.formats.wcoo import csr_to_wcoo_aligned, LANE
 
 G_STEP = 16          # groups per grid step (unrolled in the kernel)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @jax.tree_util.register_pytree_node_class

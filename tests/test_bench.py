@@ -107,7 +107,7 @@ def test_fp64_spmv_cli():
         [sys.executable, "-m", "spgrid.bench", "--generate",
          "2000 2000 20 5 normal random 0.05 0 0.05 0.05 14",
          "--kernels", "csr_xla_coo", "--dtype", "float64", "--num-cols", "1"],
-        capture_output=True, text=True, env=env, timeout=240,
+        capture_output=True, text=True, env=env, timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     rows = [l for l in out.stderr.splitlines() if l.startswith("art_")]
