@@ -63,6 +63,11 @@ def main(argv=None) -> int:
     ap.add_argument("--sparsity", type=float, default=None)
     ap.add_argument("--band-size", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--reorder", default=None,
+                    choices=["rcm", "shuffle", "degsort"],
+                    help="apply a row/col reordering pass before the "
+                         "kernel (reordering-effect study, ref "
+                         "epyc5_shuffling / mat_reorder)")
     args = ap.parse_args(argv)
 
     if args.labels:
@@ -123,6 +128,24 @@ def main(argv=None) -> int:
 
     matrices = iter_matrices(params=params, paths=args.matrix,
                              dtype=config.dtype)
+    if args.reorder:
+        from spgrid.formats.reorder import (
+            permute, rcm_order, shuffle_order, degree_sort_order,
+        )
+
+        def _reordered(mats):
+            for csr in mats:
+                if args.reorder == "rcm":
+                    order = rcm_order(csr)
+                elif args.reorder == "shuffle":
+                    order = shuffle_order(csr, seed=config.seed)
+                else:
+                    order = degree_sort_order(csr)
+                out = permute(csr, order)
+                out.name = f"{csr.name}_{args.reorder}"
+                yield out
+
+        matrices = _reordered(matrices)
     run_sweep(matrices, kernels=kernels, num_cols_list=num_cols,
               config=config, out_csv=args.out,
               check_accuracy=not args.no_check)

@@ -80,3 +80,27 @@ def init_distributed(coordinator: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def device_topology() -> dict:
+    """Device topology snapshot (ref: lib/topology.h core/NUMA discovery —
+    here chips, hosts, and ICI coordinates).
+
+    Returns {platform, num_devices, num_hosts, devices: [{id, process,
+    kind, coords, core_on_chip}]}."""
+    devs = jax.devices()
+    out = []
+    for d in devs:
+        out.append({
+            "id": d.id,
+            "process": getattr(d, "process_index", 0),
+            "kind": getattr(d, "device_kind", "unknown"),
+            "coords": tuple(getattr(d, "coords", ()) or ()),
+            "core_on_chip": getattr(d, "core_on_chip", 0),
+        })
+    return {
+        "platform": devs[0].platform if devs else "none",
+        "num_devices": len(devs),
+        "num_hosts": jax.process_count(),
+        "devices": out,
+    }

@@ -73,7 +73,8 @@ class DevicePanels:
 
     @classmethod
     def from_csr(cls, csr: CSRMatrix, bk: int = 128,
-                 band_rows: int = 2048) -> "DevicePanels":
+                 band_rows: int = 2048,
+                 max_bytes: int = 4 << 30) -> "DevicePanels":
         m, k = csr.shape
         R = min(band_rows, _round_up(max(m, 8), 8))
         bands = -(-m // R)
@@ -84,6 +85,15 @@ class DevicePanels:
         key = band * (-(-k // bk)) + bcol
         uniq, inv = np.unique(key, return_inverse=True)
         num_panels = len(uniq)
+        # fail fast before allocating: scattered matrices make nearly every
+        # (R, bk) panel nonempty and the panels array approaches the dense
+        # footprint (observed: 16GB HBM OOM at compile on a 65k^2 matrix)
+        est = num_panels * R * bk * csr.values.dtype.itemsize
+        if est > max_bytes:
+            raise ValueError(
+                f"panels would need ~{est/2**30:.1f} GiB "
+                f"({num_panels} nonempty (R={R}, bk={bk}) panels); "
+                f"matrix too scattered for the panel layout")
         u_band = (uniq // (-(-k // bk))).astype(np.int64)
         u_col = (uniq % (-(-k // bk))).astype(np.int32)
         counts = np.bincount(u_band, minlength=bands)

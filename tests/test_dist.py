@@ -117,3 +117,11 @@ def test_dist_pipeline_pallas_interpret():
     y = np.asarray(step(xd))
     gold = gold_pipeline(wk, wk, wk, mask, x)
     check(gold, y[:m], eps=1e-3)
+
+
+def test_device_topology():
+    from spgrid.dist.mesh import device_topology
+    topo = device_topology()
+    assert topo["num_devices"] >= 1
+    assert len(topo["devices"]) == topo["num_devices"]
+    assert topo["devices"][0]["kind"]
