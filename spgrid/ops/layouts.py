@@ -83,11 +83,13 @@ class DeviceELL:
         # would silently allocate m*width dense-scale arrays and OOM the
         # device; fail fast instead so sweeps can skip cleanly.
         width = int(np.diff(csr.row_ptr).max(initial=1))
-        est = csr.m * width * (4 + csr.values.dtype.itemsize)
-        if est > max_bytes:
+        slots = csr.m * width
+        est = slots * (4 + csr.values.dtype.itemsize)
+        if est > max_bytes or slots > 32 * max(csr.nnz, 1):
             raise ValueError(
-                f"ELL padding would need ~{est/2**30:.1f} GiB "
-                f"(m={csr.m}, width={width}); matrix too skewed for ELL")
+                f"ELL padding would need {slots} slots for {csr.nnz} nnz "
+                f"(~{est/2**30:.2f} GiB, width={width}); matrix too skewed "
+                f"for ELL — use SELL-C-sigma or WCOO")
         ell = csr_to_ell(csr, pad_multiple=width_multiple)
         m_pad = _round_up(csr.m, row_multiple)
         cols = np.zeros((m_pad, ell.width), dtype=np.int32)
