@@ -10,14 +10,15 @@ dense-operand exchange rides XLA collectives on ICI.
 
 from spgrid.dist.mesh import make_mesh, device_mesh_shape, \
     available_devices, device_topology
-from spgrid.dist.partition import ShardedBSR, partition_bsr
+from spgrid.dist.partition import ShardedBSR, partition_bsr, \
+    partition_bsr_halo
 from spgrid.dist.spmm import dist_bsr_spmm, make_dist_spmm
 from spgrid.dist.attention import DistSparseAttention, make_dist_pipeline_step
 
 __all__ = [
     "make_mesh", "device_mesh_shape", "available_devices",
     "device_topology",
-    "ShardedBSR", "partition_bsr",
+    "ShardedBSR", "partition_bsr", "partition_bsr_halo",
     "dist_bsr_spmm", "make_dist_spmm",
     "DistSparseAttention", "make_dist_pipeline_step",
 ]

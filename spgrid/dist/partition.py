@@ -31,15 +31,23 @@ class ShardedBSR:
     nnz for flop accounting."""
 
     block_rows: jax.Array     # (S, nbs) int32, local block-row ids
-    block_cols: jax.Array     # (S, nbs) int32, global block-col ids
+    block_cols: jax.Array     # (S, nbs) int32, block-col ids (global, or
+                              # halo-window-local when halo partitioned)
     blocks: jax.Array         # (S, nbs, bm, bk)
     shape: Tuple[int, int]
     rows_per_shard: int       # logical rows per shard (multiple of bm)
     nnz: int
+    # halo partitioning (partition_bsr_halo): x block-cols owned per shard
+    # and neighbor reach in whole shards per side; 0/0 + kb_per_shard=0
+    # means cols are global (all_gather / replicated paths)
+    halo_left: int = 0
+    halo_right: int = 0
+    kb_per_shard: int = 0
 
     def tree_flatten(self):
         return ((self.block_rows, self.block_cols, self.blocks),
-                (self.shape, self.rows_per_shard, self.nnz))
+                (self.shape, self.rows_per_shard, self.nnz,
+                 self.halo_left, self.halo_right, self.kb_per_shard))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -102,4 +110,54 @@ def partition_bsr(csr: CSRMatrix, num_shards: int, bm: int = 8,
         shape=csr.shape,
         rows_per_shard=rows_per_shard,
         nnz=csr.nnz,
+    )
+
+
+def partition_bsr_halo(csr: CSRMatrix, num_shards: int, bm: int = 8,
+                       bk: int = 128) -> ShardedBSR:
+    """Row-partition like partition_bsr, but also column-localize for a
+    neighbor halo exchange.
+
+    Each shard owns x rows [s*kps, (s+1)*kps); its blocks' column span
+    determines how many whole neighbor shards of x it needs per side.  The
+    global (halo_left, halo_right) are the max over shards — for banded
+    matrices both are small (often 1), so the dense-operand exchange is
+    O(halo) neighbor ppermutes instead of an O(S) all_gather
+    (BASELINE.json: halo segments over ICI; the bandwidth feature of the
+    matrix literally predicts halo size, SURVEY §7 hard part 5).
+
+    Block cols are rebased to the shard's halo window:
+    ``local_col = global_col - (s - halo_left) * kb_per_shard``.
+    """
+    base = partition_bsr(csr, num_shards, bm=bm, bk=bk)
+    S = num_shards
+    kb = -(-csr.k // bk)
+    kbps = -(-kb // S)
+    cols = np.asarray(base.block_cols)
+    rows = np.asarray(base.block_rows)
+    mb_per_shard = base.rows_per_shard // bm
+    hl = hr = 0
+    for s in range(S):
+        real = rows[s] < mb_per_shard
+        if not real.any():
+            continue
+        cmin, cmax = int(cols[s][real].min()), int(cols[s][real].max())
+        hl = max(hl, -(-(s * kbps - cmin) // kbps)) if cmin < s * kbps else hl
+        if cmax >= (s + 1) * kbps:
+            hr = max(hr, -(-(cmax + 1 - (s + 1) * kbps) // kbps))
+    hl, hr = max(hl, 0), max(hr, 0)
+    local = cols - (np.arange(S)[:, None] - hl) * kbps
+    # sacrificial (padding) blocks keep col 0 of the window
+    local = np.where(rows < mb_per_shard, local, 0).astype(np.int32)
+    assert local.min() >= 0 and local.max() < (hl + 1 + hr) * kbps
+    return ShardedBSR(
+        block_rows=base.block_rows,
+        block_cols=jnp.asarray(local),
+        blocks=base.blocks,
+        shape=base.shape,
+        rows_per_shard=base.rows_per_shard,
+        nnz=base.nnz,
+        halo_left=hl,
+        halo_right=hr,
+        kb_per_shard=kbps,
     )

@@ -54,18 +54,36 @@ def make_dist_spmm(
         interpret = jax.default_backend() != "tpu"
     mb_local = sharded.rows_per_shard // sharded.bm
     m_local = sharded.rows_per_shard
-    row_sharded_x = x_partition == "row_sharded"
+    if x_partition == "halo" and not sharded.kb_per_shard:
+        raise ValueError("x_partition='halo' needs partition_bsr_halo "
+                         "(column-localized shards)")
+    sharded_x = x_partition in ("row_sharded", "halo")
+    S = mesh.shape[model_axis]
 
     xcols = P(data_axis) if data_axis else P()
-    x_spec = P(model_axis, *xcols) if row_sharded_x else P(None, *xcols)
+    x_spec = P(model_axis, *xcols) if sharded_x else P(None, *xcols)
     bsr_specs = (P(model_axis), P(model_axis), P(model_axis))
 
     def local_fn(rows, cols, blocks, x):
         rows, cols, blocks = rows[0], cols[0], blocks[0]
-        if row_sharded_x:
-            # Halo exchange: gather the dense operand over ICI.  (A
-            # bandwidth-aware neighbor ppermute is the refinement; gather is
-            # the general-span case.)
+        if x_partition == "halo":
+            # Bandwidth-aware halo exchange: each shard fetches only the
+            # halo_left/right neighbor x shards via ICI ppermute rings —
+            # O(halo) neighbor hops instead of the O(S) all_gather; the
+            # matrix's bandwidth feature bounds the halo width.  Edge
+            # shards receive wrapped segments their (rebased) block cols
+            # never index.
+            segs = []
+            for d in range(sharded.halo_left, 0, -1):
+                segs.append(jax.lax.ppermute(
+                    x, model_axis, perm=[(j, (j + d) % S) for j in range(S)]))
+            segs.append(x)
+            for d in range(1, sharded.halo_right + 1):
+                segs.append(jax.lax.ppermute(
+                    x, model_axis, perm=[(j, (j - d) % S) for j in range(S)]))
+            x = jnp.concatenate(segs, axis=0) if len(segs) > 1 else x
+        elif x_partition == "row_sharded":
+            # General-span fallback: gather the whole dense operand.
             x = jax.lax.all_gather(x, model_axis, axis=0, tiled=True)
         return _local_spmm(rows, cols, blocks, x, mb_local, m_local,
                            use_pallas, interpret)
@@ -80,6 +98,12 @@ def make_dist_spmm(
 
     @jax.jit
     def run(x):
+        if x_partition == "halo":
+            # pad x rows so each shard owns exactly kb_per_shard*bk of them
+            kps = sharded.kb_per_shard * sharded.bk
+            need = S * kps
+            if x.shape[0] < need:
+                x = jnp.pad(x, ((0, need - x.shape[0]), (0, 0)))
         return fn(sharded.block_rows, sharded.block_cols, sharded.blocks, x)
 
     return run

@@ -125,3 +125,41 @@ def test_device_topology():
     assert topo["num_devices"] >= 1
     assert len(topo["devices"]) == topo["num_devices"]
     assert topo["devices"][0]["kind"]
+
+
+def test_halo_partition_and_spmm():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from spgrid.dist.mesh import make_mesh, available_devices
+    from spgrid.dist.partition import partition_bsr_halo
+    from spgrid.dist.spmm import make_dist_spmm
+    from spgrid.gen import artificial_matrix_generation
+
+    S = 4
+    mesh = make_mesh(("data", "model"), shape=(1, S),
+                     devices=available_devices(S))
+    csr = artificial_matrix_generation(512, 512, 32, 4, "normal", seed=14,
+                                       placement="random", bw=0.1,
+                                       name="banded")
+    sh = partition_bsr_halo(csr, S, bm=8, bk=128)
+    # banded matrix: halo must be narrow, not the full matrix
+    assert sh.halo_left + sh.halo_right < S - 1 or S <= 2
+    fn = make_dist_spmm(mesh, sh, x_partition="halo")
+    x = np.random.default_rng(0).random((512, 16)).astype(np.float32)
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("model", "data")))
+    y = np.asarray(fn(xd))[:512]
+    np.testing.assert_allclose(y, csr.to_dense() @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_requires_halo_partition():
+    import pytest
+    from spgrid.dist.mesh import make_mesh, available_devices
+    from spgrid.dist.partition import partition_bsr
+    from spgrid.dist.spmm import make_dist_spmm
+    from spgrid.formats import random_csr
+
+    mesh = make_mesh(("data", "model"), shape=(1, 2),
+                     devices=available_devices(2))
+    sh = partition_bsr(random_csr(64, 64, 0.1, seed=1), 2)
+    with pytest.raises(ValueError):
+        make_dist_spmm(mesh, sh, x_partition="halo")
