@@ -56,7 +56,10 @@ KERNELS = {
     "cv_bf16": "cv_bf16",          # compressed-value bf16
     "cv_int8": "cv_int8",          # compressed-value int8 + row scales
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
-    "auto": None,                  # feature-driven dispatch
+    "auto": None,                  # feature-driven dispatch (no measuring)
+    "autotune": None,              # measured dispatch (inspector-executor
+                                   # discipline: inspect+optimize then run,
+                                   # ref mkl_sparse_optimize usage)
 }
 
 
@@ -80,8 +83,11 @@ def run_spmm(
     _prec_ctx.__enter__()
     fmt = KERNELS[kernel]
     if fmt is None:
-        feats = matrix_features(csr)
-        fmt = dispatch.select_format(feats, n)
+        if kernel == "autotune":
+            fmt = dispatch.autotune_spmm(csr, xd).best
+        else:
+            feats = matrix_features(csr)
+            fmt = dispatch.select_format(feats, n)
         kernel_run = fmt
     else:
         kernel_run = kernel

@@ -116,3 +116,16 @@ def test_fp64_spmv_cli():
     header = [l for l in out.stderr.splitlines() if l.startswith("matrix_name")][0].split(",")
     assert cols[header.index("dtype")] == "float64"
     assert cols[header.index("errors_passed")] == "1"
+
+
+def test_run_spmm_autotune_kernel():
+    """'autotune' measures candidates and runs the best."""
+    from spgrid.bench.harness import run_spmm
+    from spgrid.core.config import BenchConfig
+    from spgrid.formats import random_csr
+
+    csr = random_csr(96, 96, 0.3, seed=2)
+    cfg = BenchConfig(num_cols=32, min_time_s=0.02)
+    row = run_spmm(csr, kernel="autotune", config=cfg)
+    assert row.errors_passed == 1
+    assert row.fmt in ("dense", "bsr_pallas", "panel_pallas", "ell", "coo")
