@@ -120,11 +120,16 @@ def test_fp64_spmv_cli():
 
 def test_run_spmm_autotune_kernel():
     """'autotune' measures candidates and runs the best."""
+    import numpy as np
     from spgrid.bench.harness import run_spmm
     from spgrid.core.config import BenchConfig
-    from spgrid.formats import random_csr
+    from spgrid.formats import random_csr, CSRMatrix
 
     csr = random_csr(96, 96, 0.3, seed=2)
+    # positive values: signed values + positive x makes near-zero outputs
+    # whose relative error vs the f64 gold is unbounded (gate flake)
+    csr = CSRMatrix(csr.row_ptr, csr.col_idx, np.abs(csr.values) + 0.1,
+                    csr.shape, csr.name)
     cfg = BenchConfig(num_cols=32, min_time_s=0.02)
     row = run_spmm(csr, kernel="autotune", config=cfg)
     assert row.errors_passed == 1
