@@ -53,8 +53,22 @@ class BSRMatrix:
         return self.nnz / max(self.blocks.size, 1)
 
 
-def csr_to_bsr(csr: CSRMatrix, bm: int = 8, bk: int = 128) -> BSRMatrix:
-    """Build BSR by densifying every (bm x bk) tile that contains a nonzero."""
+def csr_to_bsr(csr: CSRMatrix, bm: int = 8, bk: int = 128,
+               use_native: bool = True) -> BSRMatrix:
+    """Build BSR by densifying every (bm x bk) tile that contains a nonzero.
+
+    Uses the parallel C++ builder (spgrid.io.native sg_csr_to_bsr_f32) when
+    available for f32 matrices; the numpy path below is the behavioral
+    reference and the fallback."""
+    if use_native and csr.values.dtype == np.float32:
+        try:
+            from spgrid.io.native import csr_to_bsr_native
+            nat = csr_to_bsr_native(csr, bm, bk)
+        except Exception:
+            nat = None
+        if nat is not None:
+            brp, bci, blocks = nat
+            return BSRMatrix(brp, bci, blocks, csr.shape, csr.nnz, csr.name)
     m, k = csr.shape
     mb = -(-m // bm)
     kb = -(-k // bk)

@@ -22,6 +22,19 @@ _lib = None
 _tried = False
 
 
+class SgBsr(ctypes.Structure):
+    _fields_ = [
+        ("mb", ctypes.c_int64),
+        ("kb", ctypes.c_int64),
+        ("nb", ctypes.c_int64),
+        ("bm", ctypes.c_int32),
+        ("bk", ctypes.c_int32),
+        ("block_row_ptr", ctypes.POINTER(ctypes.c_int32)),
+        ("block_cols", ctypes.POINTER(ctypes.c_int32)),
+        ("blocks", ctypes.POINTER(ctypes.c_float)),
+    ]
+
+
 class SgCsr(ctypes.Structure):
     _fields_ = [
         ("m", ctypes.c_int64),
@@ -76,6 +89,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.sg_csr_to_bsr_f32.restype = ctypes.POINTER(SgBsr)
+        lib.sg_csr_to_bsr_f32.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.sg_bsr_free.argtypes = [ctypes.POINTER(SgBsr)]
         _lib = lib
         return _lib
 
@@ -136,3 +157,35 @@ def features_native(csr):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def csr_to_bsr_native(csr, bm: int, bk: int):
+    """Native parallel CSR->BSR block build; returns
+    (block_row_ptr, block_cols, blocks) numpy arrays or None.
+
+    f32 values only (the device kernels' dtype); callers fall back to the
+    numpy builder for other dtypes."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or csr.values.dtype != np.float32:
+        return None
+    rp = np.ascontiguousarray(csr.row_ptr, dtype=np.int32)
+    ci = np.ascontiguousarray(csr.col_idx, dtype=np.int32)
+    vv = np.ascontiguousarray(csr.values, dtype=np.float32)
+    res = lib.sg_csr_to_bsr_f32(
+        csr.m, csr.k,
+        rp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(bm), int(bk))
+    if not res:
+        return None
+    r = res.contents
+    mb, nb = int(r.mb), int(r.nb)
+    brp = np.ctypeslib.as_array(r.block_row_ptr, shape=(mb + 1,)).copy()
+    bci = np.ctypeslib.as_array(r.block_cols, shape=(max(nb, 1),))[:nb].copy()
+    blocks = np.ctypeslib.as_array(
+        r.blocks, shape=(max(nb, 1), bm, bk))[:nb].copy()
+    lib.sg_bsr_free(res)
+    return brp, bci, blocks

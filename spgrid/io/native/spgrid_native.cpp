@@ -414,4 +414,96 @@ void sg_features(int64_t m, int64_t k, const int32_t *row_ptr,
   out[11] = groups ? (double)nnz / (double)groups : 0;
 }
 
+// ---------------------------------------------------------------------------
+// CSR -> BSR block build (ref: MKL BSR targets, Makefile_in mkl_bsr 2-64;
+// host-side layout construction for the Pallas block kernels).  Parallel
+// over block rows: per-thread column-mark arrays find the nonempty
+// (block_row, block_col) tiles, then values scatter into dense blocks.
+// ---------------------------------------------------------------------------
+
+typedef struct {
+  int64_t mb, kb, nb;
+  int32_t bm, bk;
+  int32_t *block_row_ptr;  // (mb+1)
+  int32_t *block_cols;     // (nb)
+  float *blocks;           // (nb, bm, bk)
+} sg_bsr;
+
+void sg_bsr_free(sg_bsr *r) {
+  if (!r) return;
+  free(r->block_row_ptr);
+  free(r->block_cols);
+  free(r->blocks);
+  free(r);
+}
+
+sg_bsr *sg_csr_to_bsr_f32(int64_t m, int64_t k, const int32_t *row_ptr,
+                          const int32_t *col_idx, const float *vals,
+                          int32_t bm, int32_t bk) {
+  int64_t mb = (m + bm - 1) / bm;
+  int64_t kb = (k + bk - 1) / bk;
+  sg_bsr *r = (sg_bsr *)calloc(1, sizeof(sg_bsr));
+  r->mb = mb; r->kb = kb; r->bm = bm; r->bk = bk;
+  r->block_row_ptr = (int32_t *)malloc((mb + 1) * sizeof(int32_t));
+
+  // pass 1: per block row, count distinct block cols
+  int32_t *counts = (int32_t *)calloc(mb, sizeof(int32_t));
+#pragma omp parallel
+  {
+    std::vector<int64_t> mark(kb, -1);
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t bi = 0; bi < mb; ++bi) {
+      int64_t r0 = bi * bm, r1 = std::min<int64_t>(m, r0 + bm);
+      int32_t c = 0;
+      for (int64_t i = r0; i < r1; ++i)
+        for (int64_t j = row_ptr[i]; j < row_ptr[i + 1]; ++j) {
+          int64_t bc = col_idx[j] / bk;
+          if (mark[bc] != bi) { mark[bc] = bi; ++c; }
+        }
+      counts[bi] = c;
+    }
+  }
+  r->block_row_ptr[0] = 0;
+  for (int64_t bi = 0; bi < mb; ++bi)
+    r->block_row_ptr[bi + 1] = r->block_row_ptr[bi] + counts[bi];
+  free(counts);
+  int64_t nb = r->block_row_ptr[mb];
+  r->nb = nb;
+  r->block_cols = (int32_t *)malloc(std::max<int64_t>(nb, 1) * sizeof(int32_t));
+  r->blocks = (float *)calloc(std::max<int64_t>(nb, 1) * bm * bk,
+                              sizeof(float));
+  if (!r->blocks) { sg_bsr_free(r); return nullptr; }
+
+  // pass 2: assign sorted block-col slots per block row, scatter values
+#pragma omp parallel
+  {
+    std::vector<int64_t> mark(kb, -1);   // epoch = block row id
+    std::vector<int64_t> slot(kb, 0);
+    std::vector<int32_t> cols_local;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t bi = 0; bi < mb; ++bi) {
+      int64_t r0 = bi * bm, r1 = std::min<int64_t>(m, r0 + bm);
+      int64_t base = r->block_row_ptr[bi];
+      cols_local.clear();
+      for (int64_t i = r0; i < r1; ++i)
+        for (int64_t j = row_ptr[i]; j < row_ptr[i + 1]; ++j) {
+          int64_t bc = col_idx[j] / bk;
+          if (mark[bc] != bi) { mark[bc] = bi; cols_local.push_back((int32_t)bc); }
+        }
+      std::sort(cols_local.begin(), cols_local.end());
+      for (size_t s = 0; s < cols_local.size(); ++s) {
+        slot[cols_local[s]] = base + (int64_t)s;
+        r->block_cols[base + s] = cols_local[s];
+      }
+      for (int64_t i = r0; i < r1; ++i)
+        for (int64_t j = row_ptr[i]; j < row_ptr[i + 1]; ++j) {
+          int64_t bc = col_idx[j] / bk;
+          int64_t b = slot[bc];
+          r->blocks[(b * bm + (i - r0)) * bk + (col_idx[j] % bk)] = vals[j];
+        }
+    }
+  }
+  return r;
+}
+
 }  // extern "C"

@@ -105,3 +105,19 @@ def test_native_features_match_python():
     assert out[4] == pytest.approx(f.avg_bw, rel=1e-9)
     assert out[8] == pytest.approx(f.avg_num_neighbours, rel=1e-9)
     assert out[9] == pytest.approx(f.cross_row_similarity, rel=1e-9)
+
+
+def test_csr_to_bsr_native_matches_numpy():
+    from spgrid.formats import random_csr
+    from spgrid.formats.bsr import csr_to_bsr
+    from spgrid.io.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    csr = random_csr(500, 700, 0.02, seed=9)
+    a = csr_to_bsr(csr, bm=8, bk=128, use_native=True)
+    b = csr_to_bsr(csr, bm=8, bk=128, use_native=False)
+    np.testing.assert_array_equal(a.block_row_ptr, b.block_row_ptr)
+    np.testing.assert_array_equal(a.block_col_idx, b.block_col_idx)
+    np.testing.assert_array_equal(a.blocks, b.blocks)
