@@ -149,6 +149,29 @@ def main():
                   flush=True)
             _record_fail(key, e)
 
+    # --- 5. n-scalability on the DLMC twin (ref spmm-scalability-n=8..512) --
+    w5 = CSVWriter(os.path.join(OUT, "spmm_n_scalability.csv"))
+    done5 = w5.done_keys()
+    csr5 = artificial_matrix_generation(512, 512, 256, 32, "normal", 14,
+                                        "random", 1.0, 0, 0.05, 0.05,
+                                        name="dlmc_twin_512_0.5")
+    for n in (8, 32, 128, 512, 2048):
+        for kernel in ("dense", "panel_pallas"):
+            key = f"{csr5.name}|{kernel}|{n}"
+            if (csr5.name, kernel, str(n)) in done5 \
+                    or attempts.get(key, 0) >= MAX_ATTEMPTS:
+                continue
+            try:
+                row = run_spmm(csr5, kernel=kernel,
+                               config=BenchConfig(num_cols=n, min_time_s=0.4))
+                w5.write(row)
+                print(f"OK n={n} {kernel}: {row.gflops:.0f} GFLOPS",
+                      flush=True)
+            except Exception as e:
+                print(f"FAIL n={n} {kernel}: {type(e).__name__} {e}",
+                      flush=True)
+                _record_fail(key, e)
+
     # --- plots -------------------------------------------------------------
     try:
         from spgrid.viz import load_results, plot_gflops_by_matrix, \
