@@ -152,9 +152,7 @@ def main():
     # --- 5. n-scalability on the DLMC twin (ref spmm-scalability-n=8..512) --
     w5 = CSVWriter(os.path.join(OUT, "spmm_n_scalability.csv"))
     done5 = w5.done_keys()
-    csr5 = artificial_matrix_generation(512, 512, 256, 32, "normal", 14,
-                                        "random", 1.0, 0, 0.05, 0.05,
-                                        name="dlmc_twin_512_0.5")
+    csr5 = csr  # section 3's DLMC twin (identical parameters)
     for n in (8, 32, 128, 512, 2048):
         for kernel in ("dense", "panel_pallas"):
             key = f"{csr5.name}|{kernel}|{n}"

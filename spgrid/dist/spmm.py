@@ -41,7 +41,7 @@ def make_dist_spmm(
     *,
     model_axis: str = "model",
     data_axis: Optional[str] = "data",
-    x_partition: str = "replicated",   # 'replicated' | 'row_sharded'
+    x_partition: str = "replicated",   # 'replicated' | 'row_sharded' | 'halo'
     use_pallas: bool = False,
     interpret: Optional[bool] = None,
 ):

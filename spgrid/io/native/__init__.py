@@ -89,14 +89,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
         ]
-        lib.sg_csr_to_bsr_f32.restype = ctypes.POINTER(SgBsr)
-        lib.sg_csr_to_bsr_f32.argtypes = [
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int32, ctypes.c_int32,
-        ]
-        lib.sg_bsr_free.argtypes = [ctypes.POINTER(SgBsr)]
+        # newer symbols may be absent from a stale prebuilt .so — degrade
+        # to the numpy fallback instead of raising out of get_lib()
+        if hasattr(lib, "sg_csr_to_bsr_f32"):
+            lib.sg_csr_to_bsr_f32.restype = ctypes.POINTER(SgBsr)
+            lib.sg_csr_to_bsr_f32.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.sg_bsr_free.argtypes = [ctypes.POINTER(SgBsr)]
         _lib = lib
         return _lib
 
@@ -168,7 +172,8 @@ def csr_to_bsr_native(csr, bm: int, bk: int):
     import numpy as np
 
     lib = get_lib()
-    if lib is None or csr.values.dtype != np.float32:
+    if lib is None or not hasattr(lib, "sg_csr_to_bsr_f32") \
+            or csr.values.dtype != np.float32:
         return None
     rp = np.ascontiguousarray(csr.row_ptr, dtype=np.int32)
     ci = np.ascontiguousarray(csr.col_idx, dtype=np.int32)

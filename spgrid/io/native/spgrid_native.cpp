@@ -13,6 +13,7 @@
 // Parallelism: OpenMP chunked parsing over newline-aligned file splits,
 // mirroring the reference's lib/parallel_io.c design.
 
+#include <algorithm>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -443,11 +444,15 @@ sg_bsr *sg_csr_to_bsr_f32(int64_t m, int64_t k, const int32_t *row_ptr,
   int64_t mb = (m + bm - 1) / bm;
   int64_t kb = (k + bk - 1) / bk;
   sg_bsr *r = (sg_bsr *)calloc(1, sizeof(sg_bsr));
+  if (!r) return nullptr;
   r->mb = mb; r->kb = kb; r->bm = bm; r->bk = bk;
   r->block_row_ptr = (int32_t *)malloc((mb + 1) * sizeof(int32_t));
 
   // pass 1: per block row, count distinct block cols
   int32_t *counts = (int32_t *)calloc(mb, sizeof(int32_t));
+  if (!r->block_row_ptr || !counts) {
+    free(counts); sg_bsr_free(r); return nullptr;
+  }
 #pragma omp parallel
   {
     std::vector<int64_t> mark(kb, -1);
@@ -472,7 +477,7 @@ sg_bsr *sg_csr_to_bsr_f32(int64_t m, int64_t k, const int32_t *row_ptr,
   r->block_cols = (int32_t *)malloc(std::max<int64_t>(nb, 1) * sizeof(int32_t));
   r->blocks = (float *)calloc(std::max<int64_t>(nb, 1) * bm * bk,
                               sizeof(float));
-  if (!r->blocks) { sg_bsr_free(r); return nullptr; }
+  if (!r->block_cols || !r->blocks) { sg_bsr_free(r); return nullptr; }
 
   // pass 2: assign sorted block-col slots per block row, scatter values
 #pragma omp parallel

@@ -175,4 +175,9 @@ def autotune_spmm(
         except Exception:
             times[fmt] = float("inf")
     best = min(times, key=times.get)
+    if times[best] == float("inf"):
+        # every candidate failed/was skipped: returning one anyway would
+        # make the caller build a format autotune refused to even measure
+        raise RuntimeError(
+            f"autotune: no runnable candidate among {list(times)}")
     return AutotuneResult(best=best, times=times)

@@ -110,14 +110,20 @@ def test_native_features_match_python():
 def test_csr_to_bsr_native_matches_numpy():
     from spgrid.formats import random_csr
     from spgrid.formats.bsr import csr_to_bsr
-    from spgrid.io.native import get_lib
+    from spgrid.io.native import get_lib, csr_to_bsr_native
 
     if get_lib() is None:
+        import shutil
+        if shutil.which("g++"):
+            raise AssertionError(
+                "native library failed to BUILD despite g++ present — "
+                "fallback would silently mask the breakage")
         import pytest
         pytest.skip("no native toolchain")
     csr = random_csr(500, 700, 0.02, seed=9)
-    a = csr_to_bsr(csr, bm=8, bk=128, use_native=True)
+    nat = csr_to_bsr_native(csr, 8, 128)
+    assert nat is not None, "native path unexpectedly unavailable"
     b = csr_to_bsr(csr, bm=8, bk=128, use_native=False)
-    np.testing.assert_array_equal(a.block_row_ptr, b.block_row_ptr)
-    np.testing.assert_array_equal(a.block_col_idx, b.block_col_idx)
-    np.testing.assert_array_equal(a.blocks, b.blocks)
+    np.testing.assert_array_equal(nat[0], b.block_row_ptr)
+    np.testing.assert_array_equal(nat[1], b.block_col_idx)
+    np.testing.assert_array_equal(nat[2], b.blocks)
