@@ -49,7 +49,10 @@ def _kernel(gsw_ref, gsub_ref, cols_ref, vals_ref, x2_ref, y2_ref):
         sw = gsw_ref[gi]
         sr = gsub_ref[gi]
         src = x2_ref[pl.ds(sw * 8, 8), :]               # (8, 128) VMEM slice
-        idx = cols_ref[pl.ds(g * 8, 8), :]
+        # cols stream as int8 (col % 128 < 128): the slot DMA is the
+        # kernel's bottleneck at low utilization (empty-body ablation ==
+        # full kernel time), so every streamed byte counts (222 -> 187us)
+        idx = cols_ref[pl.ds(g * 8, 8), :].astype(jnp.int32)
         v = vals_ref[pl.ds(g * 8, 8), :]
         p = jnp.take_along_axis(src, idx, axis=1) * v   # lane shuffle + FMA
         contrib = jnp.sum(p, axis=0, keepdims=True)     # sublane reduce
@@ -88,7 +91,7 @@ def _spmv(g_sw, g_sub, cols, vals, x2, *, m2, interpret):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * cols.size,
-            bytes_accessed=cols.size * 8 + (k2 + m2) * LANE * 4,
+            bytes_accessed=cols.size * 5 + (k2 + m2) * LANE * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -123,7 +126,7 @@ class DeviceWCOOAligned:
             vals = np.concatenate([vals, np.zeros((pad, 8, LANE), vals.dtype)])
             g_sw = np.concatenate([g_sw, np.zeros(pad, np.int32)])
             g_sub = np.concatenate([g_sub, np.zeros(pad, np.int32)])
-        self.cols = jnp.asarray(cols.reshape(-1, LANE))
+        self.cols = jnp.asarray(cols.reshape(-1, LANE).astype(np.int8))
         self.values = jnp.asarray(vals.reshape(-1, LANE))
         self.g_sw = jnp.asarray(g_sw)
         self.g_sub = jnp.asarray(g_sub)
