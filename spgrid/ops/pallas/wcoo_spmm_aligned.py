@@ -150,7 +150,9 @@ class DeviceWCOOBands:
             lb2 = np.concatenate(
                 [lb2, np.full((pad8, G_STEP), mbb, np.int32)])
         return cls(
-            cols=jnp.asarray(out_cols.reshape(-1, LANE)),
+            # int8 stream: col % 128 < 128; slot DMA dominates at low
+            # utilization (same finding as wcoo_spmv)
+            cols=jnp.asarray(out_cols.reshape(-1, LANE).astype(np.int8)),
             values=jnp.asarray(out_vals.reshape(-1, LANE)),
             g_sw=jnp.asarray(step_sw),
             g_lb=jnp.asarray(lb2),
@@ -186,7 +188,8 @@ def _make_kernel(mbb: int, ns: int):
             for srow in range(8):
                 r = g * 8 + srow
                 src = xt_ref[:, srow * LANE:(srow + 1) * LANE]   # (ns, 128)
-                idx = jnp.broadcast_to(cols_ref[pl.ds(r, 1), :], (ns, LANE))
+                idx = jnp.broadcast_to(
+                    cols_ref[pl.ds(r, 1), :].astype(jnp.int32), (ns, LANE))
                 gat = jnp.take_along_axis(src, idx, axis=1)
                 acc += gat * vals_ref[pl.ds(r, 1), :]
             out_ref[0, 0, lb] += acc
