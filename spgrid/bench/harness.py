@@ -55,6 +55,7 @@ KERNELS = {
     "ldu": "ldu",                  # face-list LDU (OpenFOAM; symmetric pattern)
     "cv_bf16": "cv_bf16",          # compressed-value bf16
     "cv_int8": "cv_int8",          # compressed-value int8 + row scales
+    "cv_panel": "cv_panel",        # bf16 panel blocks (CV x panel kernel)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
     "autotune": None,              # measured dispatch (inspector-executor
@@ -150,7 +151,8 @@ def run_spmm(
             # Gate kernel correctness, not the intentional compression loss:
             # gold uses the dequantized values the kernel actually computes on.
             from spgrid.formats.cv import csr_to_cv, cv_to_csr
-            gold_csr = cv_to_csr(csr_to_cv(csr, fmt.split("_")[1]))
+            mode = "bf16" if fmt == "cv_panel" else fmt.split("_")[1]
+            gold_csr = cv_to_csr(csr_to_cv(csr, mode))
         gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
                               gold_csr.values, x)
         test = np.asarray(fn(a, xd))

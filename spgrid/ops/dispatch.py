@@ -32,8 +32,8 @@ from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, \
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
-           "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "wcoo_pallas",
-           "wcoo_bands", "wcoo_spmv")
+           "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
+           "wcoo_pallas", "wcoo_bands", "wcoo_spmv")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -109,6 +109,13 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceLDU.from_ldu(csr_to_ldu(csr))
     if fmt in ("cv_bf16", "cv_int8"):
         return DeviceCV.from_csr(csr, mode=fmt.split("_")[1])
+    if fmt == "cv_panel":
+        # CV substrate in the panel kernel: bf16 blocks halve the dominant
+        # panel stream (measured 114 -> 100us at 4096^2/50%)
+        p = DevicePanels.from_csr(csr)
+        return DevicePanels(p.block_cols, p.panels.astype(jnp.bfloat16),
+                            p.shape, p.nnz, p.num_panels, p.band_rows,
+                            p.bands, p.max_p)
     if fmt == "wcoo_pallas":
         return DeviceWCOO.from_csr(csr)
     if fmt == "wcoo_bands":
@@ -131,6 +138,7 @@ def spmm_fn(fmt: str) -> Callable:
         "ldu": xops.spmm_ldu,
         "cv_bf16": xops.spmm_cv,
         "cv_int8": xops.spmm_cv,
+        "cv_panel": panel_spmm,
         "wcoo_pallas": wcoo_spmm,
         "wcoo_bands": wcoo_spmm_aligned,
         "wcoo_spmv": _wcoo_spmv_2d,

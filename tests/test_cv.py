@@ -63,3 +63,16 @@ def test_dispatch_cv():
         gold = csr.to_dense() @ x
         # lossy: compare loosely against the uncompressed gold
         np.testing.assert_allclose(y, gold, rtol=0.05, atol=0.05)
+
+
+def test_cv_panel_dispatch():
+    from spgrid.ops.dispatch import build, spmm_fn
+    import jax.numpy as jnp
+
+    csr = random_csr(128, 128, 0.1, seed=11)
+    a = build(csr, "cv_panel")
+    assert a.panels.dtype == jnp.bfloat16
+    x = np.random.default_rng(4).random((128, 16)).astype(np.float32)
+    y = np.asarray(spmm_fn("cv_panel")(a, jnp.asarray(x)))[:128]
+    gold = cv_to_csr(csr_to_cv(csr, "bf16")).to_dense() @ x
+    np.testing.assert_allclose(y, gold, rtol=5e-2, atol=5e-2)
