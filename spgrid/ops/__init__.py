@@ -29,6 +29,7 @@ from spgrid.ops.pallas.sddmm import bsr_sddmm
 from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
 from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, wcoo_spmm_aligned
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
+from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
 from spgrid.ops.attention import (
     SparseAttention,
     attention_pipeline,
@@ -47,7 +48,7 @@ __all__ = [
     "bsr_spmm", "DeviceBSRCol", "bsr_spmm_cstat", "DevicePanels",
     "panel_spmm", "bsr_sddmm", "DeviceWCOO", "wcoo_spmm",
     "DeviceWCOOBands", "wcoo_spmm_aligned",
-    "DeviceWCOOAligned", "wcoo_spmv",
+    "DeviceWCOOAligned", "wcoo_spmv", "DeviceWROW", "wrow_spmv",
     "SparseAttention", "attention_pipeline", "make_pipeline_step",
     "gold_pipeline", "blocksparse_softmax",
     "select_format", "autotune_spmm", "build", "spmm_fn",

@@ -30,10 +30,11 @@ from spgrid.ops.pallas.wcoo_spmm import DeviceWCOO, wcoo_spmm
 from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, \
     wcoo_spmm_aligned
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
+from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
-           "wcoo_pallas", "wcoo_bands", "wcoo_spmv")
+           "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -122,6 +123,8 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceWCOOBands.from_csr(csr)
     if fmt == "wcoo_spmv":
         return DeviceWCOOAligned.from_csr(csr)
+    if fmt == "wrow_spmv":
+        return DeviceWROW.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -142,12 +145,18 @@ def spmm_fn(fmt: str) -> Callable:
         "wcoo_pallas": wcoo_spmm,
         "wcoo_bands": wcoo_spmm_aligned,
         "wcoo_spmv": _wcoo_spmv_2d,
+        "wrow_spmv": _wrow_spmv_2d,
     }[fmt]
 
 
 def _wcoo_spmv_2d(a, x):
     """Bench adapter: the fused SpMV kernel on a (k, 1) dense operand."""
     y = wcoo_spmv(a, x[:, 0] if x.ndim == 2 else x)
+    return y[:, None] if x.ndim == 2 else y
+
+
+def _wrow_spmv_2d(a, x):
+    y = wrow_spmv(a, x[:, 0] if x.ndim == 2 else x)
     return y[:, None] if x.ndim == 2 else y
 
 

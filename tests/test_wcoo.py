@@ -101,3 +101,29 @@ def test_wcoo_aligned_spmv_collisions():
     a = DeviceWCOOAligned.from_csr(csr)
     y = wcoo_spmv(a, jnp.asarray(x), interpret=True)
     check(gold, y)
+
+
+def test_wrow_spmv():
+    from spgrid.ops import DeviceWROW, wrow_spmv
+
+    for m, k, d, seed in ((300, 500, 0.02, 1), (260, 130, 0.08, 2)):
+        csr = random_csr(m, k, d, seed=seed)
+        dev = DeviceWROW.from_csr(csr)
+        x = np.random.default_rng(0).random(k).astype(np.float32)
+        y = np.asarray(wrow_spmv(dev, jnp.asarray(x)))
+        np.testing.assert_allclose(y, csr.to_dense() @ x, rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_wrow_empty_and_duplicate_structure():
+    from spgrid.ops import DeviceWROW, wrow_spmv
+    from spgrid.formats import dense_to_csr
+
+    dense = np.zeros((200, 200), dtype=np.float32)
+    dense[0, :150] = 1.0          # long row spanning two windows
+    dense[199, 0] = 2.0           # far row
+    csr = dense_to_csr(dense)
+    dev = DeviceWROW.from_csr(csr)
+    x = np.random.default_rng(1).random(200).astype(np.float32)
+    y = np.asarray(wrow_spmv(dev, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-5)
