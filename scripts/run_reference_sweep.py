@@ -86,7 +86,7 @@ def main():
         csr = artificial_matrix_generation(
             100000, 100000, avg, round(avg / 3, 4), "normal", 14, "random",
             bw, 0, 0.05, 0.05, name=f"synth_100k_a{avg}_b{bw:g}")
-        for kernel in ("wcoo_spmv", "wcoo_bands", "wcoo_pallas"):
+        for kernel in ("wcoo_spmv", "wrow_spmv", "wcoo_bands", "wcoo_pallas"):
             key = f"{csr.name}|{kernel}|1"
             if (csr.name, kernel, "1") in done2 \
                     or attempts.get(key, 0) >= MAX_ATTEMPTS:
