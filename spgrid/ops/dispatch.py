@@ -56,6 +56,10 @@ def select_format(f: MatrixFeatures, n: int = 512,
     density = f.density
     dense_bytes = f.m * f.n * 4
     banded = f.avg_bw_scaled < 0.15
+    if n == 1 and density < 0.05:
+        # SpMV: fused vector kernels (measured: wrow wins 10-20% over the
+        # aligned-slot kernel on every 100k benchmark config)
+        return "wrow_spmv"
     # estimated occupancy of the (128,128) blocks a banded matrix produces:
     # a row's nnz land within its bandwidth, so blocks along the band hold
     # ~avg_nnz*128 of 128*(bw+128) slots
