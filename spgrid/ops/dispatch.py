@@ -117,10 +117,9 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
     if fmt == "cv_panel":
         # CV substrate in the panel kernel: bf16 blocks halve the dominant
         # panel stream (measured 114 -> 100us at 4096^2/50%)
-        p = DevicePanels.from_csr(csr)
-        return DevicePanels(p.block_cols, p.panels.astype(jnp.bfloat16),
-                            p.shape, p.nnz, p.num_panels, p.band_rows,
-                            p.bands, p.max_p)
+        import dataclasses as _dc
+        p = DevicePanels.from_csr(csr, bk=bk)
+        return _dc.replace(p, panels=p.panels.astype(jnp.bfloat16))
     if fmt == "wcoo_pallas":
         return DeviceWCOO.from_csr(csr)
     if fmt == "wcoo_bands":
@@ -160,6 +159,12 @@ def _wcoo_spmv_2d(a, x):
 
 
 def _wrow_spmv_2d(a, x):
+    """Bench adapter: the WROW SpMV kernel on a (k, 1) dense operand.
+
+    SpMV-only — a wider operand would silently drop columns."""
+    if x.ndim == 2 and x.shape[1] != 1:
+        raise ValueError("wrow_spmv is an SpMV kernel (n must be 1); "
+                         f"got n={x.shape[1]}")
     y = wrow_spmv(a, x[:, 0] if x.ndim == 2 else x)
     return y[:, None] if x.ndim == 2 else y
 

@@ -167,8 +167,8 @@ class DeviceWCOOBands:
 
     @property
     def mem_footprint(self) -> int:
-        return self.cols.size * 4 + self.values.size \
-            * self.values.dtype.itemsize
+        return self.cols.size * self.cols.dtype.itemsize \
+            + self.values.size * self.values.dtype.itemsize
 
 
 def _make_kernel(mbb: int, ns: int):
@@ -239,7 +239,7 @@ def _spmm(g_sw, g_lb, cols, vals, xt, *, aux, ns, interpret):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * ntiles * cols.shape[0] * LANE * ns // 8,
-            bytes_accessed=cols.size * 8 * ntiles
+            bytes_accessed=cols.size * 5 * ntiles
             + bands * ntiles * k_pad * ns * 4 // 8
             + ntiles * bands * mbb * ns * LANE * 4,
             transcendentals=0,

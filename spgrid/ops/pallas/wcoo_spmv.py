@@ -142,8 +142,8 @@ class DeviceWCOOAligned:
 
     @property
     def mem_footprint(self) -> int:
-        return (self.cols.size * 4 + self.values.size
-                * self.values.dtype.itemsize)
+        return (self.cols.size * self.cols.dtype.itemsize
+                + self.values.size * self.values.dtype.itemsize)
 
 
 def wcoo_spmv(a: DeviceWCOOAligned, x: jax.Array,

@@ -1,5 +1,10 @@
 """Pallas TPU kernel: window-row packed SpMV (WROW).
 
+Reference counterpart: the custom CSR SpMV kernel family with its
+load-balancing variants (spmv_kernel_csr.cpp:352-460, SURVEY A.3) and
+SELL-C-sigma's row-repacking idea (ARM spmv_code_sell-C-s) — here the
+"repacking" targets the TPU's 128-lane shuffle instead of SIMD rows.
+
 Third-generation hypersparse SpMV layout, fixing the aligned format's
 (wcoo_spmv) measured waste: there a group's sublane is hard-wired to the
 window-within-superwindow, so collision *depth layers* are whole extra
@@ -25,9 +30,7 @@ but on 4x fewer groups.  Column indices stream as int8.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +39,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgrid.formats.csr import CSRMatrix
-from spgrid.ops.layouts import _round_up
 
 LANE = 128
 GROUPS_PER_STEP = 128      # fully unrolled in the kernel
@@ -97,11 +99,9 @@ def csr_to_wrow(csr: CSRMatrix):
     piece_w[dest] = p_win
     cols_p[dest[pid], lane[order]] = cw[order]
     vals_p[dest[pid], lane[order]] = csr.values[order]
-    group_sub = np.zeros(G, np.int32)
-    nblocks = len(tot)
-    gs = starts_out[:-1] // 8
-    for b in range(nblocks):
-        group_sub[gs[b]: gs[b] + tot[b] // 8] = b
+    # blocks are laid out contiguously in order: tot[b]//8 groups each
+    group_sub = np.repeat(np.arange(len(tot), dtype=np.int32),
+                          tot // 8)
     util = nnz / (G * 8 * LANE)
     return cols_p, vals_p, piece_w, group_sub, G, util
 
