@@ -134,3 +134,29 @@ def test_run_spmm_autotune_kernel():
     row = run_spmm(csr, kernel="autotune", config=cfg)
     assert row.errors_passed == 1
     assert row.fmt in ("dense", "bsr_pallas", "panel_pallas", "ell", "coo")
+
+
+def test_autotune_raises_when_nothing_runnable():
+    import pytest
+    from spgrid.ops.dispatch import autotune_spmm
+    from spgrid.formats import random_csr
+    import jax.numpy as jnp
+    import numpy as np
+
+    csr = random_csr(64, 64, 0.1, seed=1)
+    x = jnp.asarray(np.ones((64, 8), np.float32))
+    with pytest.raises(RuntimeError):
+        autotune_spmm(csr, x, candidates=("nonexistent_fmt",))
+
+
+def test_wrow_adapter_rejects_wide_operand():
+    import pytest
+    from spgrid.ops.dispatch import build, spmm_fn
+    from spgrid.formats import random_csr
+    import jax.numpy as jnp
+    import numpy as np
+
+    csr = random_csr(64, 64, 0.02, seed=2)
+    a = build(csr, "wrow_spmv")
+    with pytest.raises(ValueError):
+        spmm_fn("wrow_spmv")(a, jnp.asarray(np.ones((64, 8), np.float32)))
