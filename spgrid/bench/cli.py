@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     ap.add_argument("--param-file", help="file of 11-field parameter lines")
     ap.add_argument("--limit", type=int, default=0,
                     help="use only the first N param-file lines")
+    ap.add_argument("--skip", type=int, default=0,
+                    help="skip the first N param-file lines")
+    ap.add_argument("--stride", type=int, default=1,
+                    help="take every Nth param-file line (spread sampling "
+                         "of the big factorial grids)")
     ap.add_argument("--matrix", nargs="*", default=[],
                     help=".mtx/.smtx file path(s)")
     ap.add_argument("--pipeline", nargs=3, metavar=("WK", "WQ", "WV"),
@@ -122,6 +127,7 @@ def main(argv=None) -> int:
         params.append(GenParams.from_line(args.generate))
     if args.param_file:
         lines = read_param_file(args.param_file)
+        lines = lines[args.skip::max(args.stride, 1)]
         params.extend(lines[: args.limit] if args.limit else lines)
     if not params and not args.matrix:
         ap.error("need --generate, --param-file, --matrix, or --pipeline")
