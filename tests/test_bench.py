@@ -160,3 +160,19 @@ def test_wrow_adapter_rejects_wide_operand():
     a = build(csr, "wrow_spmv")
     with pytest.raises(ValueError):
         spmm_fn("wrow_spmv")(a, jnp.asarray(np.ones((64, 8), np.float32)))
+
+
+def test_cli_param_stride(tmp_path, capsys):
+    from spgrid.bench.cli import main
+    pf = tmp_path / "p.txt"
+    lines = [f"{100+i} {100+i} 5 1.6667 normal random 0.05 0 0.05 0.05 14"
+             for i in range(6)]
+    pf.write_text("\n".join(lines) + "\n")
+    rc = main(["--param-file", str(pf), "--stride", "3", "--limit", "2",
+               "--kernel", "csr_xla_coo", "--num-cols", "8",
+               "--out", str(tmp_path / "r.csv")])
+    assert rc == 0
+    rows = (tmp_path / "r.csv").read_text().splitlines()[1:]
+    names = [r.split(",")[0] for r in rows]
+    assert names == ["art_100_100_5_1.6667_normal_random_0.05_0_0.05_0.05_14",
+                     "art_103_103_5_1.6667_normal_random_0.05_0_0.05_0.05_14"]
