@@ -69,10 +69,18 @@ def run_sweep(
                         row = run_spmm(csr, kernel=kernel, config=cfg,
                                        check_accuracy=check_accuracy)
                         break
-                    except Exception:
+                    except Exception as e:
                         print(f"error ({csr.name},{kernel},n={n}) "
                               f"attempt {attempt}:", file=sys.stdout)
                         traceback.print_exc(file=sys.stdout)
+                        if "RESOURCE_EXHAUSTED" in str(e):
+                            # a failed device alloc poisons the process:
+                            # every later row would be junk.  Exit with the
+                            # retry-wrapper protocol code so the sweep is
+                            # restarted fresh with resume (CLAUDE.md trap).
+                            print("device poisoned; exiting 2 for restart",
+                                  file=sys.stdout, flush=True)
+                            raise SystemExit(2)
                 if row is None:
                     row = BenchRow(matrix_name=csr.name, kernel=kernel,
                                    input_columns=n, errors_passed=0)

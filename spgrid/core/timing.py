@@ -119,21 +119,26 @@ def time_kernel_chained(
     per_est = max(t1 / i1 / 4, 1e-8)
     i2 = 0
     t2 = 0.0
-    for _ in range(8):
+    esc_iters = 0          # executions spent escalating (2x i2 per round:
+    esc_time = 0.0         # compile-warm + timed), so the row's iters/total
+    for _ in range(8):     # reflect actual measurement cost (ADVICE r1)
         i2_new = i1 + max(i1, min(int(min_time_s / per_est) + 1, 1 << 20))
         if i2_new <= i2:
             break
         i2 = i2_new
         run2 = _chained_runner(kernel_of_x, x, i2, operands)
+        tw0 = time.perf_counter()
         _sync_fetch(run2(x))                   # compile + warm
         t0 = time.perf_counter()
         _sync_fetch(run2(x))
         t2 = time.perf_counter() - t0
+        esc_iters += 2 * i2                    # warm run + timed run
+        esc_time += time.perf_counter() - tw0
         if t2 >= min_time_s * 0.9 or i2 >= 1 << 20:
             break
         per_est = max((t2 - t1) / (i2 - i1), t2 / i2 / 4, 1e-9)
 
-    total = t1 + t2
+    total = t1 + esc_time
     pers = []
     for _ in range(max(repeats, 1)):
         t0 = time.perf_counter()
@@ -155,7 +160,7 @@ def time_kernel_chained(
         best = max(t2 / i2, 1e-9)
     return TimedResult(
         time_per_iter_s=best,
-        iters=(i1 + i2) * max(repeats, 1),
+        iters=2 * i1 + esc_iters + (i1 + i2) * max(repeats, 1),
         total_time_s=total,
         flops=flops,
         bytes_accessed=bytes_accessed,

@@ -85,8 +85,13 @@ def twin_ape(df, *, twin_suffix: str = "_twin", key: str = "matrix_name",
     twins = df[df[key].str.endswith(twin_suffix)].copy()
     twins["base"] = twins[key].str[: -len(twin_suffix)]
     reals = df[~df[key].str.endswith(twin_suffix)]
-    merged = reals.merge(twins, left_on=[key, "kernel"],
-                         right_on=["base", "kernel"],
+    # distinguish runs at different configs: a sweep may carry several rows
+    # per (matrix, kernel) — e.g. input_columns or dtype variants — and a
+    # 2-key merge would cross-join real@config-A with twin@config-B
+    extra = [c for c in ("input_columns", "dtype", "num_devices")
+             if c in df.columns and df[c].nunique() > 1]
+    merged = reals.merge(twins, left_on=[key, "kernel", *extra],
+                         right_on=["base", "kernel", *extra],
                          suffixes=("_real", "_twin"))
     out = pd.DataFrame({
         "matrix": merged[key + "_real"],
