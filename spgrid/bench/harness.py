@@ -57,6 +57,9 @@ KERNELS = {
     "cv_bf16": "cv_bf16",          # compressed-value bf16
     "cv_int8": "cv_int8",          # compressed-value int8 + row scales
     "cv_panel": "cv_panel",        # bf16 panel blocks (CV x panel kernel)
+    "gell": "gell",                # gather-ELL, split24 X (f32-exact)
+    "gell16": "gell16",            # gather-ELL, split16 X (~2^-17 on X)
+    "cv_gell": "cv_gell",          # gather-ELL, bf16 X (CV-on-X mode)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
     "autotune": None,              # measured dispatch (inspector-executor
@@ -81,92 +84,103 @@ def run_spmm(
     xd = jnp.asarray(x)
     csr = csr.astype(config.dtype) if csr.values.dtype != np.dtype(config.dtype) else csr
 
-    _prec_ctx = jax.default_matmul_precision(config.precision)
-    _prec_ctx.__enter__()
-    fmt = KERNELS[kernel]
-    if fmt is None:
-        if kernel == "autotune":
-            fmt = dispatch.autotune_spmm(csr, xd).best
+    with jax.default_matmul_precision(config.precision):
+        fmt = KERNELS[kernel]
+        if fmt is None:
+            if kernel == "autotune":
+                fmt = dispatch.autotune_spmm(csr, xd).best
+            else:
+                feats = matrix_features(csr)
+                fmt = dispatch.select_format(feats, n)
+            kernel_run = fmt
         else:
-            feats = matrix_features(csr)
-            fmt = dispatch.select_format(feats, n)
-        kernel_run = fmt
-    else:
-        kernel_run = kernel
-    a = dispatch.build(csr, fmt)
-    fn = dispatch.spmm_fn(fmt)
+            kernel_run = kernel
+        a = dispatch.build(csr, fmt)
+        fn = dispatch.spmm_fn(fmt)
 
-    flops = (gemm_flops(csr.m, csr.k, n) if kernel == "gemm_bound"
-             else spmm_flops(csr.nnz, n))
-    vb = np.dtype(config.dtype).itemsize
-    bytes_accessed = csr_bytes(csr.nnz, csr.m, n, csr.k, val_bytes=vb)
-    if fmt == "dense":
-        bytes_accessed = float((csr.m * csr.k + (csr.k + csr.m) * n) * vb)
+        flops = (gemm_flops(csr.m, csr.k, n) if kernel == "gemm_bound"
+                 else spmm_flops(csr.nnz, n))
+        vb = np.dtype(config.dtype).itemsize
+        bytes_accessed = csr_bytes(csr.nnz, csr.m, n, csr.k, val_bytes=vb)
+        if fmt == "dense":
+            bytes_accessed = float((csr.m * csr.k + (csr.k + csr.m) * n) * vb)
 
-    # Differenced chained-loop timing: loop fused in jit, full-output
-    # feedback, RTT cancelled (see core.timing docstring).
-    timed = time_kernel_chained(
-        fn, xd, operands=a,
-        min_time_s=config.min_time_s,
-        flops=flops,
-        bytes_accessed=bytes_accessed,
-    )
+        # Differenced chained-loop timing: loop fused in jit, full-output
+        # feedback, RTT cancelled (see core.timing docstring).
+        timed = time_kernel_chained(
+            fn, xd, operands=a,
+            min_time_s=config.min_time_s,
+            flops=flops,
+            bytes_accessed=bytes_accessed,
+        )
 
-    row = BenchRow(
-        matrix_name=csr.name,
-        kernel=kernel,
-        fmt=fmt,
-        dtype=config.dtype,
-        device=chip.name,
-        num_devices=1,
-        input_columns=n,
-        csr_m=csr.m,
-        csr_k=csr.k,
-        csr_nnz=csr.nnz,
-        csr_mem_footprint_mb=csr.mem_footprint / (1 << 20),
-        fmt_mem_footprint_mb=_fmt_footprint(a) / (1 << 20),
-        time=timed.time_per_iter_s,
-        iters=timed.iters,
-        gflops=timed.gflops or math.nan,
-        gbytes_per_s=timed.gbytes_per_s or math.nan,
-        sol_time=roofline_time(flops, bytes_accessed, chip, config.dtype),
-        roofline_frac=min(
-            roofline_time(flops, bytes_accessed, chip, config.dtype)
-            / timed.time_per_iter_s, 9.99),
-    )
+        row = BenchRow(
+            matrix_name=csr.name,
+            kernel=kernel,
+            fmt=fmt,
+            dtype=config.dtype,
+            device=chip.name,
+            num_devices=1,
+            input_columns=n,
+            csr_m=csr.m,
+            csr_k=csr.k,
+            csr_nnz=csr.nnz,
+            csr_mem_footprint_mb=csr.mem_footprint / (1 << 20),
+            fmt_mem_footprint_mb=_fmt_footprint(a) / (1 << 20),
+            time=timed.time_per_iter_s,
+            iters=timed.iters,
+            gflops=timed.gflops or math.nan,
+            gbytes_per_s=timed.gbytes_per_s or math.nan,
+            sol_time=roofline_time(flops, bytes_accessed, chip, config.dtype),
+            roofline_frac=min(
+                roofline_time(flops, bytes_accessed, chip, config.dtype)
+                / timed.time_per_iter_s, 9.99),
+        )
 
-    feats = matrix_features(csr)
-    row.density = feats.density
-    row.avg_nnz_per_row = feats.avg_nnz_per_row
-    row.std_nnz_per_row = feats.std_nnz_per_row
-    row.avg_bw_scaled = feats.avg_bw_scaled
-    row.std_bw_scaled = feats.std_bw_scaled
-    row.avg_sc_scaled = feats.avg_sc_scaled
-    row.skew = feats.skew
-    row.avg_num_neighbours = feats.avg_num_neighbours
-    row.cross_row_similarity = feats.cross_row_similarity
+        feats = matrix_features(csr)
+        row.density = feats.density
+        row.avg_nnz_per_row = feats.avg_nnz_per_row
+        row.std_nnz_per_row = feats.std_nnz_per_row
+        row.avg_bw_scaled = feats.avg_bw_scaled
+        row.std_bw_scaled = feats.std_bw_scaled
+        row.avg_sc_scaled = feats.avg_sc_scaled
+        row.skew = feats.skew
+        row.avg_num_neighbours = feats.avg_num_neighbours
+        row.cross_row_similarity = feats.cross_row_similarity
 
-    if check_accuracy:
-        gold_csr = csr
-        if fmt.startswith("cv_"):
-            # Gate kernel correctness, not the intentional compression loss:
-            # gold uses the dequantized values the kernel actually computes on.
-            from spgrid.formats.cv import csr_to_cv, cv_to_csr
-            mode = "bf16" if fmt == "cv_panel" else fmt.split("_")[1]
-            gold_csr = cv_to_csr(csr_to_cv(csr, mode))
-        gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
-                              gold_csr.values, x)
-        test = np.asarray(fn(a, xd))
-        eps = config.epsilon if config.dtype != "float32" else 1e-4
-        m = error_metrics(gold, test, epsilon=eps)
-        row.mae, row.max_ae, row.mse = m.mae, m.max_ae, m.mse
-        row.mape, row.smape = m.mape, m.smape
-        row.lnQ_error, row.mlare, row.gmare = m.lnQ_error, m.mlare, m.gmare
-        row.errors_passed = int(m.passed)
-        if not m.passed:
-            print(f"Test failed! {csr.name} {kernel_run}: "
-                  f"max_rel_diff={m.max_rel_diff:.3e}")
-    _prec_ctx.__exit__(None, None, None)
+        if check_accuracy:
+            gold_csr = csr
+            x_gold = x
+            if fmt == "cv_gell" or (fmt == "gell16"):
+                # gell's CV modes compress X, not A: gate kernel correctness
+                # against the X representation the kernel actually gathers
+                import ml_dtypes
+                xf = np.ascontiguousarray(x, np.float32)
+                if fmt == "cv_gell":
+                    x_gold = xf.astype(ml_dtypes.bfloat16)                         .astype(np.float32)
+                else:
+                    hi = (xf.view(np.uint32)
+                          & np.uint32(0xFFFF0000)).view(np.float32)
+                    lo = (xf - hi).astype(ml_dtypes.bfloat16)                         .astype(np.float32)
+                    x_gold = hi + lo
+            elif fmt.startswith("cv_"):
+                # Gate kernel correctness, not the intentional compression loss:
+                # gold uses the dequantized values the kernel actually computes on.
+                from spgrid.formats.cv import csr_to_cv, cv_to_csr
+                mode = "bf16" if fmt == "cv_panel" else fmt.split("_")[1]
+                gold_csr = cv_to_csr(csr_to_cv(csr, mode))
+            gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
+                                  gold_csr.values, x_gold)
+            test = np.asarray(fn(a, xd))
+            eps = config.epsilon if config.dtype != "float32" else 1e-4
+            m = error_metrics(gold, test, epsilon=eps)
+            row.mae, row.max_ae, row.mse = m.mae, m.max_ae, m.mse
+            row.mape, row.smape = m.mape, m.smape
+            row.lnQ_error, row.mlare, row.gmare = m.lnQ_error, m.mlare, m.gmare
+            row.errors_passed = int(m.passed)
+            if not m.passed:
+                print(f"Test failed! {csr.name} {kernel_run}: "
+                      f"max_rel_diff={m.max_rel_diff:.3e}")
     return row
 
 
@@ -195,90 +209,88 @@ def run_pipeline(
         mask = create_mask(config.sparse_attention_type, wk.m,
                            config.sparsity, config.band_size, config.seed,
                            dtype=np.dtype(config.dtype))
-    _prec_ctx = jax.default_matmul_precision(config.precision)
-    _prec_ctx.__enter__()
-    x = make_x(wk.k, n, config.dtype, config.seed)
-    xd = jnp.asarray(x)
-    attn = SparseAttention.from_csr(
-        wk.astype(config.dtype), wq.astype(config.dtype),
-        wv.astype(config.dtype), mask.astype(config.dtype))
+    with jax.default_matmul_precision(config.precision):
+        x = make_x(wk.k, n, config.dtype, config.seed)
+        xd = jnp.asarray(x)
+        attn = SparseAttention.from_csr(
+            wk.astype(config.dtype), wq.astype(config.dtype),
+            wv.astype(config.dtype), mask.astype(config.dtype))
 
-    step = make_pipeline_step(attn, use_pallas=use_pallas)
-    flops = attn.flops_per_col * n
-    timed = time_kernel_chained(
-        lambda at, xc: attention_pipeline(at, xc, use_pallas=use_pallas)[0],
-        xd, operands=attn,
-        min_time_s=config.min_time_s,
-        flops=flops,
-    )
+        step = make_pipeline_step(attn, use_pallas=use_pallas)
+        flops = attn.flops_per_col * n
+        timed = time_kernel_chained(
+            lambda at, xc: attention_pipeline(at, xc, use_pallas=use_pallas)[0],
+            xd, operands=attn,
+            min_time_s=config.min_time_s,
+            flops=flops,
+        )
 
-    # Per-stage timing (separately jitted stage closures).
-    stage_flops = {
-        "K": spmm_flops(wk.nnz, n), "Q": spmm_flops(wq.nnz, n),
-        "V": spmm_flops(wv.nnz, n), "S": spmm_flops(mask.nnz, n),
-        "Y": spmm_flops(mask.nnz, n),
-    }
-    from spgrid.ops.pallas.bsr_spmm import bsr_spmm
-    from spgrid.ops.pallas.sddmm import bsr_sddmm
-    from spgrid.ops import xla as xops
-    spmm = bsr_spmm if use_pallas else xops.spmm_bsr
-    k_out = spmm(attn.wk, xd)
-    q_out = spmm(attn.wq, xd)
-    v_out = spmm(attn.wv, xd)
-    from spgrid.ops.attention import _sddmm_bsr_xla as _sddmm_xla_fn
-    if use_pallas:
-        sddmm = lambda q: bsr_sddmm(attn.mask, q, k_out)  # noqa: E731
-    else:
-        sddmm = lambda q: _sddmm_xla_fn(attn.mask, q, k_out)  # noqa: E731
+        # Per-stage timing (separately jitted stage closures).
+        stage_flops = {
+            "K": spmm_flops(wk.nnz, n), "Q": spmm_flops(wq.nnz, n),
+            "V": spmm_flops(wv.nnz, n), "S": spmm_flops(mask.nnz, n),
+            "Y": spmm_flops(mask.nnz, n),
+        }
+        from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+        from spgrid.ops.pallas.sddmm import bsr_sddmm
+        from spgrid.ops import xla as xops
+        spmm = bsr_spmm if use_pallas else xops.spmm_bsr
+        k_out = spmm(attn.wk, xd)
+        q_out = spmm(attn.wq, xd)
+        v_out = spmm(attn.wv, xd)
+        from spgrid.ops.attention import _sddmm_bsr_xla as _sddmm_xla_fn
+        if use_pallas:
+            sddmm = lambda q: bsr_sddmm(attn.mask, q, k_out)  # noqa: E731
+        else:
+            sddmm = lambda q: _sddmm_xla_fn(attn.mask, q, k_out)  # noqa: E731
 
-    def st(fn2, arg, ops):
-        return time_kernel_chained(fn2, arg, operands=ops,
-                                   min_time_s=0.2).time_per_iter_s
+        def st(fn2, arg, ops):
+            return time_kernel_chained(fn2, arg, operands=ops,
+                                       min_time_s=0.2).time_per_iter_s
 
-    stage_times = {
-        "K": st(lambda w, xc: spmm(w, xc), xd, attn.wk),
-        "Q": st(lambda w, xc: spmm(w, xc), xd, attn.wq),
-        "V": st(lambda w, xc: spmm(w, xc), xd, attn.wv),
-        "S": st(lambda ops, q: (bsr_sddmm(ops[0], q, ops[1]) if use_pallas
-                                else _sddmm_xla_fn(ops[0], q, ops[1])),
-                q_out, (attn.mask, k_out)),
-    }
-    from spgrid.ops.attention import _with_blocks
-    s_bsr = _with_blocks(attn.mask, sddmm(q_out).astype(xd.dtype))
-    stage_times["Y"] = st(lambda w, v: spmm(w, v), v_out, s_bsr)
+        stage_times = {
+            "K": st(lambda w, xc: spmm(w, xc), xd, attn.wk),
+            "Q": st(lambda w, xc: spmm(w, xc), xd, attn.wq),
+            "V": st(lambda w, xc: spmm(w, xc), xd, attn.wv),
+            "S": st(lambda ops, q: (bsr_sddmm(ops[0], q, ops[1]) if use_pallas
+                                    else _sddmm_xla_fn(ops[0], q, ops[1])),
+                    q_out, (attn.mask, k_out)),
+        }
+        from spgrid.ops.attention import _with_blocks
+        s_bsr = _with_blocks(attn.mask, sddmm(q_out).astype(xd.dtype))
+        stage_times["Y"] = st(lambda w, v: spmm(w, v), v_out, s_bsr)
 
-    row = BenchRow(
-        matrix_name=f"pipeline_{wk.name}",
-        kernel="pipeline_pallas" if use_pallas else "pipeline_xla",
-        fmt="bsr",
-        dtype=config.dtype,
-        device=chip.name,
-        input_columns=n,
-        csr_m=wk.m, csr_k=wk.k,
-        csr_nnz=wk.nnz + wq.nnz + wv.nnz + mask.nnz,
-        time=timed.time_per_iter_s,
-        iters=timed.iters,
-        gflops=timed.gflops or math.nan,
-        gflops_spmm_K=stage_flops["K"] / stage_times["K"] / 1e9,
-        gflops_spmm_Q=stage_flops["Q"] / stage_times["Q"] / 1e9,
-        gflops_spmm_V=stage_flops["V"] / stage_times["V"] / 1e9,
-        gflops_sddmm=stage_flops["S"] / stage_times["S"] / 1e9,
-        gflops_final_spmm=stage_flops["Y"] / stage_times["Y"] / 1e9,
-    )
+        row = BenchRow(
+            matrix_name=f"pipeline_{wk.name}",
+            kernel="pipeline_pallas" if use_pallas else "pipeline_xla",
+            fmt="bsr",
+            dtype=config.dtype,
+            device=chip.name,
+            input_columns=n,
+            csr_m=wk.m, csr_k=wk.k,
+            csr_nnz=wk.nnz + wq.nnz + wv.nnz + mask.nnz,
+            time=timed.time_per_iter_s,
+            iters=timed.iters,
+            gflops=timed.gflops or math.nan,
+            gflops_spmm_K=stage_flops["K"] / stage_times["K"] / 1e9,
+            gflops_spmm_Q=stage_flops["Q"] / stage_times["Q"] / 1e9,
+            gflops_spmm_V=stage_flops["V"] / stage_times["V"] / 1e9,
+            gflops_sddmm=stage_flops["S"] / stage_times["S"] / 1e9,
+            gflops_final_spmm=stage_flops["Y"] / stage_times["Y"] / 1e9,
+        )
 
-    if check_accuracy:
-        gold = gold_pipeline(wk, wq, wv, mask, x)
-        test = np.asarray(step(xd))
-        eps = 1e-3 if config.dtype == "float32" else config.epsilon
-        mres = error_metrics(gold, test, epsilon=eps)
-        row.mae, row.max_ae, row.mse = mres.mae, mres.max_ae, mres.mse
-        row.mape, row.smape = mres.mape, mres.smape
-        row.lnQ_error, row.mlare, row.gmare = (mres.lnQ_error, mres.mlare,
-                                               mres.gmare)
-        row.errors_passed = int(mres.passed)
-        if not mres.passed:
-            print(f"Test failed! pipeline: max_rel_diff={mres.max_rel_diff:.3e}")
-    _prec_ctx.__exit__(None, None, None)
+        if check_accuracy:
+            gold = gold_pipeline(wk, wq, wv, mask, x)
+            test = np.asarray(step(xd))
+            eps = 1e-3 if config.dtype == "float32" else config.epsilon
+            mres = error_metrics(gold, test, epsilon=eps)
+            row.mae, row.max_ae, row.mse = mres.mae, mres.max_ae, mres.mse
+            row.mape, row.smape = mres.mape, mres.smape
+            row.lnQ_error, row.mlare, row.gmare = (mres.lnQ_error, mres.mlare,
+                                                   mres.gmare)
+            row.errors_passed = int(mres.passed)
+            if not mres.passed:
+                print(f"Test failed! pipeline: max_rel_diff={mres.max_rel_diff:.3e}")
     return row
 
 
@@ -305,82 +317,80 @@ def run_sddmm(
         mask = create_mask(config.sparse_attention_type, length,
                            config.sparsity, config.band_size, config.seed,
                            dtype=np.dtype(config.dtype))
-    _prec_ctx = jax.default_matmul_precision(config.precision)
-    _prec_ctx.__enter__()
-    dt = np.dtype(config.dtype)
-    x = np.full((mask.m, n), 0.1, dtype=dt)
-    z = np.full((mask.k, n), 0.1, dtype=dt)
-    xd, zd = jnp.asarray(x), jnp.asarray(z)
+    with jax.default_matmul_precision(config.precision):
+        dt = np.dtype(config.dtype)
+        x = np.full((mask.m, n), 0.1, dtype=dt)
+        z = np.full((mask.k, n), 0.1, dtype=dt)
+        xd, zd = jnp.asarray(x), jnp.asarray(z)
 
-    flops = spmm_flops(mask.nnz, n)
-    vb = dt.itemsize
-    bytes_accessed = float(mask.nnz * (vb + 4) + (mask.m + mask.k) * n * vb)
-    if use_pallas:
-        # full-MXU-height mask blocks: bm=8 gives ~15x more grid steps and
-        # lands on the ~300ns/step floor (measured 4.3ms vs 0.4ms at 4096)
-        dev = DeviceBSR.from_csr(mask, bm=128, bk=128)
-        fn = lambda ops, q: bsr_sddmm(ops[0], q, ops[1])      # noqa: E731
-        fmt = "bsr_pallas"
-    else:
-        dev = DeviceCOO.from_csr(mask)
-        fn = lambda ops, q: sddmm_coo(ops[0], q, ops[1])      # noqa: E731
-        fmt = "coo"
-
-    timed = time_kernel_chained(
-        fn, xd, operands=(dev, zd),
-        min_time_s=config.min_time_s,
-        flops=flops, bytes_accessed=bytes_accessed,
-    )
-
-    row = BenchRow(
-        matrix_name=mask.name or f"mask_{length}",
-        kernel="sddmm_pallas" if use_pallas else "sddmm_xla",
-        fmt=fmt,
-        dtype=config.dtype,
-        device=chip.name,
-        input_columns=n,
-        csr_m=mask.m, csr_k=mask.k, csr_nnz=mask.nnz,
-        csr_mem_footprint_mb=mask.mem_footprint / (1 << 20),
-        fmt_mem_footprint_mb=_fmt_footprint(dev) / (1 << 20),
-        time=timed.time_per_iter_s,
-        iters=timed.iters,
-        gflops=timed.gflops or math.nan,
-        gbytes_per_s=timed.gbytes_per_s or math.nan,
-        sol_time=roofline_time(flops, bytes_accessed, chip, config.dtype),
-        roofline_frac=min(
-            roofline_time(flops, bytes_accessed, chip, config.dtype)
-            / timed.time_per_iter_s, 9.99),
-    )
-
-    if check_accuracy:
-        # float64 gold restricted to mask nnz, chunked to bound the
-        # (chunk, n) f64 intermediates on multi-Mnnz masks
-        rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
-        gold = np.empty(mask.nnz, dtype=np.float64)
-        chunk = 1 << 20
-        for s in range(0, mask.nnz, chunk):
-            e = min(s + chunk, mask.nnz)
-            gold[s:e] = np.einsum(
-                "nd,nd->n", x[rows_idx[s:e]].astype(np.float64),
-                z[mask.col_idx[s:e]].astype(np.float64))
-        gold *= mask.values.astype(np.float64)
-        out = fn((dev, zd), xd)
+        flops = spmm_flops(mask.nnz, n)
+        vb = dt.itemsize
+        bytes_accessed = float(mask.nnz * (vb + 4) + (mask.m + mask.k) * n * vb)
         if use_pallas:
-            # extract per-nnz values from the mask-aligned BSR blocks
-            test = _bsr_blocks_to_nnz(dev, np.asarray(out), mask, rows_idx)
+            # full-MXU-height mask blocks: bm=8 gives ~15x more grid steps and
+            # lands on the ~300ns/step floor (measured 4.3ms vs 0.4ms at 4096)
+            dev = DeviceBSR.from_csr(mask, bm=128, bk=128)
+            fn = lambda ops, q: bsr_sddmm(ops[0], q, ops[1])      # noqa: E731
+            fmt = "bsr_pallas"
         else:
-            test = np.asarray(out)[: mask.nnz]
-        eps = config.epsilon if config.dtype != "float32" else 1e-4
-        mres = error_metrics(gold, test.astype(np.float64), epsilon=eps)
-        row.mae, row.max_ae, row.mse = mres.mae, mres.max_ae, mres.mse
-        row.mape, row.smape = mres.mape, mres.smape
-        row.lnQ_error, row.mlare, row.gmare = (mres.lnQ_error, mres.mlare,
-                                               mres.gmare)
-        row.errors_passed = int(mres.passed)
-        if not mres.passed:
-            print(f"Test failed! sddmm {mask.name}: "
-                  f"max_rel_diff={mres.max_rel_diff:.3e}")
-    _prec_ctx.__exit__(None, None, None)
+            dev = DeviceCOO.from_csr(mask)
+            fn = lambda ops, q: sddmm_coo(ops[0], q, ops[1])      # noqa: E731
+            fmt = "coo"
+
+        timed = time_kernel_chained(
+            fn, xd, operands=(dev, zd),
+            min_time_s=config.min_time_s,
+            flops=flops, bytes_accessed=bytes_accessed,
+        )
+
+        row = BenchRow(
+            matrix_name=mask.name or f"mask_{length}",
+            kernel="sddmm_pallas" if use_pallas else "sddmm_xla",
+            fmt=fmt,
+            dtype=config.dtype,
+            device=chip.name,
+            input_columns=n,
+            csr_m=mask.m, csr_k=mask.k, csr_nnz=mask.nnz,
+            csr_mem_footprint_mb=mask.mem_footprint / (1 << 20),
+            fmt_mem_footprint_mb=_fmt_footprint(dev) / (1 << 20),
+            time=timed.time_per_iter_s,
+            iters=timed.iters,
+            gflops=timed.gflops or math.nan,
+            gbytes_per_s=timed.gbytes_per_s or math.nan,
+            sol_time=roofline_time(flops, bytes_accessed, chip, config.dtype),
+            roofline_frac=min(
+                roofline_time(flops, bytes_accessed, chip, config.dtype)
+                / timed.time_per_iter_s, 9.99),
+        )
+
+        if check_accuracy:
+            # float64 gold restricted to mask nnz, chunked to bound the
+            # (chunk, n) f64 intermediates on multi-Mnnz masks
+            rows_idx = np.repeat(np.arange(mask.m), mask.degrees)
+            gold = np.empty(mask.nnz, dtype=np.float64)
+            chunk = 1 << 20
+            for s in range(0, mask.nnz, chunk):
+                e = min(s + chunk, mask.nnz)
+                gold[s:e] = np.einsum(
+                    "nd,nd->n", x[rows_idx[s:e]].astype(np.float64),
+                    z[mask.col_idx[s:e]].astype(np.float64))
+            gold *= mask.values.astype(np.float64)
+            out = fn((dev, zd), xd)
+            if use_pallas:
+                # extract per-nnz values from the mask-aligned BSR blocks
+                test = _bsr_blocks_to_nnz(dev, np.asarray(out), mask, rows_idx)
+            else:
+                test = np.asarray(out)[: mask.nnz]
+            eps = config.epsilon if config.dtype != "float32" else 1e-4
+            mres = error_metrics(gold, test.astype(np.float64), epsilon=eps)
+            row.mae, row.max_ae, row.mse = mres.mae, mres.max_ae, mres.mse
+            row.mape, row.smape = mres.mape, mres.smape
+            row.lnQ_error, row.mlare, row.gmare = (mres.lnQ_error, mres.mlare,
+                                                   mres.gmare)
+            row.errors_passed = int(mres.passed)
+            if not mres.passed:
+                print(f"Test failed! sddmm {mask.name}: "
+                      f"max_rel_diff={mres.max_rel_diff:.3e}")
     return row
 
 

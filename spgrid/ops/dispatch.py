@@ -31,10 +31,12 @@ from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, \
     wcoo_spmm_aligned
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
+from spgrid.ops.gell import DeviceGELL, gell_spmm
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
-           "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv")
+           "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv",
+           "gell", "gell16", "cv_gell")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -128,6 +130,12 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceWCOOAligned.from_csr(csr)
     if fmt == "wrow_spmv":
         return DeviceWROW.from_csr(csr)
+    if fmt == "gell":
+        return DeviceGELL.from_csr(csr, mode="split24")
+    if fmt == "gell16":
+        return DeviceGELL.from_csr(csr, mode="split16")
+    if fmt == "cv_gell":
+        return DeviceGELL.from_csr(csr, mode="bf16")
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -149,6 +157,9 @@ def spmm_fn(fmt: str) -> Callable:
         "wcoo_bands": wcoo_spmm_aligned,
         "wcoo_spmv": _wcoo_spmv_2d,
         "wrow_spmv": _wrow_spmv_2d,
+        "gell": gell_spmm,
+        "gell16": gell_spmm,
+        "cv_gell": gell_spmm,
     }[fmt]
 
 

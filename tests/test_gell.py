@@ -1,0 +1,89 @@
+"""GELL (gather-ELL) hypersparse SpMM kernel tests.
+
+Reference regime: spmm_kernel_mkl_ie.cpp:75-104 (5-100 nnz/row, n=512).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spgrid.core.metrics import error_metrics
+from spgrid.gen.artificial import artificial_matrix_generation
+from spgrid.ops.gell import DeviceGELL, gell_spmm, _split_planes
+
+
+def _gold(csr, x):
+    xs = x.astype(np.float64)
+    rows = np.repeat(np.arange(csr.m), csr.degrees)
+    prods = csr.values[:, None].astype(np.float64) * xs[csr.col_idx]
+    out = np.zeros((csr.m, x.shape[1]), np.float64)
+    np.add.at(out, rows, prods)
+    return out
+
+
+@pytest.mark.parametrize("mode,tol", [("split24", 5e-6), ("f32", 5e-6),
+                                      ("split16", 5e-4), ("bf16", 5e-2)])
+def test_gell_modes_accuracy(mode, tol):
+    csr = artificial_matrix_generation(777, 777, 6, 2.0, "normal", seed=3,
+                                       placement="random", bw=0.3)
+    x = np.random.default_rng(0).standard_normal((777, 64)) \
+        .astype(np.float32)
+    a = DeviceGELL.from_csr(csr, mode=mode)
+    y = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
+    m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
+    assert m.mape < tol, (mode, m.mape)
+
+
+def test_gell_split24_matches_f32_exactly():
+    csr = artificial_matrix_generation(500, 500, 5, 1.7, "normal", seed=7,
+                                       placement="random", bw=0.05)
+    x = np.random.default_rng(1).standard_normal((500, 32)) \
+        .astype(np.float32)
+    y24 = np.asarray(gell_spmm(DeviceGELL.from_csr(csr, mode="split24"),
+                               jnp.asarray(x)))
+    yf = np.asarray(gell_spmm(DeviceGELL.from_csr(csr, mode="f32"),
+                              jnp.asarray(x)))
+    # same summation order, exact plane reconstruction => bitwise equal
+    assert np.array_equal(y24, yf)
+
+
+def test_split_planes_exact():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(5000)
+         * 10.0 ** rng.integers(-30, 30, 5000)).astype(np.float32)
+    ps = _split_planes(jnp.asarray(x.reshape(-1, 1)), 3)
+    rec = sum(np.asarray(p, np.float64) for p in ps)[:, 0]
+    assert np.array_equal(rec.astype(np.float32), x)
+
+
+def test_gell_skewed_tail():
+    csr = artificial_matrix_generation(999, 999, 8, 40.0, "gamma", seed=5,
+                                       placement="random", bw=0.9)
+    a = DeviceGELL.from_csr(csr)
+    assert a.tail_rows.shape[0] > 0          # skew actually exercises tail
+    x = np.random.default_rng(2).standard_normal((999, 16)) \
+        .astype(np.float32)
+    y = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
+    m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
+    assert m.mape < 5e-6
+
+
+def test_gell_spmv_vector():
+    csr = artificial_matrix_generation(300, 300, 4, 1.0, "normal", seed=9,
+                                       placement="random", bw=0.5)
+    x = np.random.default_rng(3).standard_normal(300).astype(np.float32)
+    y = np.asarray(gell_spmm(DeviceGELL.from_csr(csr), jnp.asarray(x)))
+    assert y.shape == (300,)
+    gold = _gold(csr, x[:, None])[:, 0]
+    assert np.allclose(y, gold, atol=1e-4, rtol=1e-4)
+
+
+def test_gell_empty_and_dense_rows():
+    # rows with zero nnz and a full row
+    row_ptr = np.array([0, 0, 5, 5, 8], np.int64)
+    col = np.array([0, 1, 2, 3, 4, 0, 2, 3], np.int64)
+    val = np.arange(1, 9, dtype=np.float32)
+    from spgrid.formats.csr import CSRMatrix
+    csr = CSRMatrix(row_ptr, col, val, (4, 5), "tiny")
+    x = np.eye(5, dtype=np.float32)
+    y = np.asarray(gell_spmm(DeviceGELL.from_csr(csr), jnp.asarray(x)))
+    assert np.allclose(y, csr.to_dense() @ x)
