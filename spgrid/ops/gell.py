@@ -24,10 +24,21 @@ TPU design rationale (all constants measured on v5e, scripts/exp_gather.py):
   slower from loop overhead) so the gathered intermediate stays bounded
   for m up to millions.
 
-Modes: "split24" (default: 3-way split, error ~2^-25 — f32-exact for the
-oracle), "split16" (2-way, ~2^-17 — CV-class), "f32" (exact, slow gather),
-"bf16" (CV mode — half traffic, gated against dequantized gold like the
-other CV kernels; ref value-compression study lib/bitstream.c).
+Round-2 addendum (the decisive measurement): the gather-rate cliff is a
+function of SOURCE BYTES, not dtype — takes run ~180-280 Mrow/s when the
+source array is under ~64MB and ~45-60 Mrow/s above (the earlier
+"16-bit is faster" readings were confounded: bf16 halved the source).
+So the primary trick is **windowed gathering**: for column-local (banded)
+matrices, rows are processed in uniform chunks whose X window (a dynamic
+slice precomputed at format build) stays under the cliff, and a lax.scan
+drives per-chunk take+combine with host-precomputed window-local indices.
+
+Modes: "f32" (default: exact, windowed when the structure allows),
+"bf16" (CV-on-X mode — half gather bytes, windowed, gated against the
+bf16 X it gathers; ref value-compression study lib/bitstream.c),
+"split24"/"split16" (bf16 plane splits of X with MXU block-diagonal slot
+contraction — useful in the unwindowable 32-128MB source range where
+smaller planes dodge the cliff; split24 is f32-oracle-exact).
 """
 
 from __future__ import annotations
@@ -52,19 +63,22 @@ class DeviceGELL:
 
     def tree_flatten(self):
         return ((self.cols, self.values, self.tail_rows, self.tail_cols,
-                 self.tail_vals),
-                (self.shape, self.nnz, self.slots, self.mode, self.name))
+                 self.tail_vals, self.win_cols, self.win_vals,
+                 self.win_bases),
+                (self.shape, self.nnz, self.slots, self.mode, self.name,
+                 self.win_plan))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.cols, obj.values, obj.tail_rows, obj.tail_cols,
-         obj.tail_vals) = children
-        obj.shape, obj.nnz, obj.slots, obj.mode, obj.name = aux
+         obj.tail_vals, obj.win_cols, obj.win_vals, obj.win_bases) = children
+        (obj.shape, obj.nnz, obj.slots, obj.mode, obj.name,
+         obj.win_plan) = aux
         return obj
 
     def __init__(self, csr: CSRMatrix, slots: int | None = None,
-                 mode: str = "split24"):
+                 mode: str = "f32"):
         m, k = csr.shape
         deg = csr.degrees
         if slots is None:
@@ -99,16 +113,59 @@ class DeviceGELL:
         self.slots = slots
         self.mode = mode
         self.name = csr.name
+        self._plan_windows(cols, vals, k)
+
+    def _plan_windows(self, cols, vals, k):
+        """Precompute the windowed-gather plan (see module doc: the XLA
+        row gather runs ~4-5x faster when its source is < ~64MB, so for
+        column-local (banded) matrices each row-chunk gathers from a
+        dynamic slice of X instead of the full array)."""
+        SPAN_CAP = 16384                    # rows: 32MB f32 window at n=512
+        m_pad, S = cols.shape
+        self.win_plan = None
+        empty = jnp.zeros((0,), jnp.int32)
+        self.win_cols = self.win_vals = self.win_bases = empty
+        if k <= SPAN_CAP:
+            return                          # source already small: direct
+        real = vals != 0
+        for rb in (16384, 8192, 4096, 2048):
+            if rb > m_pad and rb != 16384:
+                continue
+            rbe = min(rb, -(-m_pad // 8) * 8)
+            nb = -(-m_pad // rbe)
+            pad = nb * rbe - m_pad
+            cp = np.pad(cols, ((0, pad), (0, 0)))
+            vp = np.pad(vals, ((0, pad), (0, 0)))
+            rp = np.pad(real, ((0, pad), (0, 0)))
+            c3 = cp.reshape(nb, rbe * S)
+            r3 = rp.reshape(nb, rbe * S)
+            minc = np.where(r3, c3, k).min(axis=1)
+            maxc = np.where(r3, c3, -1).max(axis=1)
+            minc = np.minimum(minc, np.maximum(maxc, 0))
+            span_req = int((maxc - minc + 1).max(initial=1))
+            if span_req <= SPAN_CAP:
+                span = min(k, SPAN_CAP)
+                bases = np.clip(minc, 0, k - span).astype(np.int32)
+                local = np.clip(c3.reshape(nb, rbe, S)
+                                - bases[:, None, None], 0, span - 1)
+                self.win_plan = (nb, rbe, span)
+                self.win_cols = jnp.asarray(local.astype(np.int32))
+                self.win_vals = jnp.asarray(vp.reshape(nb, rbe, S))
+                self.win_bases = jnp.asarray(bases)
+                return
 
     @classmethod
     def from_csr(cls, csr: CSRMatrix, slots: int | None = None,
-                 mode: str = "split24") -> "DeviceGELL":
+                 mode: str = "f32") -> "DeviceGELL":
         return cls(csr, slots=slots, mode=mode)
 
     @property
     def mem_footprint(self) -> int:
-        return (self.cols.size * 4 + self.values.size * 4
+        base = (self.cols.size * 4 + self.values.size * 4
                 + self.tail_rows.size * 12)
+        if self.win_plan is not None:
+            base += self.win_cols.size * 8 + self.win_bases.size * 4
+        return base
 
 
 def _trunc_bf16(x: jax.Array) -> jax.Array:
@@ -161,14 +218,59 @@ def _chunk_rows(m_pad: int, slots: int, n: int, mode: str,
     return -(-rows // 8) * 8
 
 
-@functools.partial(jax.jit, static_argnames=("m", "mode"))
-def _gell_spmm(cols, vals, trows, tcols, tvals, x, *, m, mode):
+def _blockdiag_A(v: jax.Array) -> jax.Array:
+    """(rb, S) values -> (rb/8, 8, 8S) bf16 block-diagonal slot matrix.
+
+    Row r of an 8-row block multiplies only its own S gathered rows; the
+    MXU runs the slot contraction as a batched (8, 8S) @ (8S, n) matmul.
+    The ~8x zero-padding flops are free next to the VPU alternative: the
+    multi-stream convert+mul+reduce combine measured ~200 GB/s while the
+    bf16 MXU eats it at >10x that.
+    """
+    rb, S = v.shape
+    eye = jnp.eye(8, dtype=v.dtype)
+    a = jnp.einsum("pq,bps->bpqs", eye, v.reshape(rb // 8, 8, S))
+    return a.reshape(rb // 8, 8, 8 * S)
+
+
+def _mxu_combine(a_planes, b, nb8, S, n_out):
+    """sum_p einsum('brc,bcn->brn', A_p, B) -> (rows, n_out) f32."""
+    out = None
+    for ap in a_planes:
+        o = jax.lax.dot_general(
+            ap, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out = o if out is None else out + o
+    return out.reshape(nb8 * 8, n_out)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "mode", "win_plan"))
+def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
+               m, mode, win_plan):
     k, n = x.shape
     m_pad, S = cols.shape
+    if win_plan is not None and mode in ("f32", "bf16"):
+        nb, rbw, span = win_plan
+        src = x if mode == "f32" else x.astype(jnp.bfloat16)
+
+        def body(_, blk):
+            cl, vl, base = blk
+            xw = jax.lax.dynamic_slice(src, (base, 0), (span, n))
+            g = jnp.take(xw, cl.reshape(-1), axis=0)
+            y = jnp.sum(vl[:, :, None]
+                        * g.astype(jnp.float32).reshape(rbw, S, n), axis=1)
+            return 0, y
+
+        _, ys = jax.lax.scan(body, 0, (wcols, wvals, wbases))
+        y = ys.reshape(nb * rbw, n)[:m]
+        return _add_tail(y, trows, tcols, tvals, (src,), m, n) \
+            .astype(x.dtype)
     if mode == "split16":
-        planes = _split_planes(x, 2)
+        hi, lo = _split_planes(x, 2)
+        planes = (jnp.concatenate([hi, lo], axis=1),)   # (k, 2n) [hi|lo]
     elif mode == "split24":
-        planes = _split_planes(x, 3)
+        hi, mid, lo = _split_planes(x, 3)
+        planes = (jnp.concatenate([hi, mid], axis=1), lo)
     elif mode == "bf16":
         planes = (x.astype(jnp.bfloat16),)
     else:
@@ -180,26 +282,56 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, x, *, m, mode):
         pad = nb * rb - m_pad
         cols = jnp.pad(cols, ((0, pad), (0, 0)))
         vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    use_mxu = mode in ("split16", "split24", "bf16")
     outs = []
     for b in range(nb):                       # static unroll: no map overhead
         cb = jax.lax.dynamic_slice_in_dim(cols, b * rb, rb, 0)
         vb = jax.lax.dynamic_slice_in_dim(vals, b * rb, rb, 0)
         idxb = cb.reshape(-1)
-        g32 = sum(jnp.take(p, idxb, axis=0).astype(jnp.float32)
-                  for p in planes).reshape(rb, S, n)
-        # explicit mul+sum: stays on the VPU in full f32 regardless of the
-        # ambient matmul precision (an einsum here could drop to bf16 MXU
-        # passes and void the split)
-        outs.append(jnp.sum(vb[:, :, None] * g32, axis=1))
+        if use_mxu:
+            # values split into bf16 planes too: every MXU product is an
+            # exact bf16 x bf16 with f32 accumulation.  Term budget (v and
+            # x planes each carry 8 mantissa bits/plane): split24 keeps
+            # all cross terms down to 2^-24 of v*x and drops only vl*lo
+            # (~2^-32) — f32-class; split16/bf16 keep v to 2^-16.
+            nv = 3 if mode == "split24" else 2
+            a_planes = [_blockdiag_A(vp)
+                        for vp in _split_planes(vb, nv)]
+            yb = None
+            for p in planes:
+                g = jnp.take(p, idxb, axis=0)          # (rb*S, w) bf16
+                w = p.shape[1]
+                bmat = g.reshape(rb // 8, 8 * S, w)
+                ap = a_planes if w > n else a_planes[:2]
+                o = _mxu_combine(ap, bmat, rb // 8, S, w)
+                o32 = (o[:, :n] + o[:, n:]) if w > n else o
+                yb = o32 if yb is None else yb + o32
+            outs.append(yb)
+        else:
+            g32 = sum(jnp.take(p, idxb, axis=0).astype(jnp.float32)
+                      for p in planes).reshape(rb, S, n)
+            # explicit mul+sum: full f32 on the VPU regardless of the
+            # ambient matmul precision
+            outs.append(jnp.sum(vb[:, :, None] * g32, axis=1))
     y = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     y = y[:m]
-    if trows.shape[0]:
-        gt = sum(jnp.take(p, tcols, axis=0).astype(jnp.float32)
-                 for p in planes)
-        prods = tvals[:, None] * gt
-        y = y + jax.ops.segment_sum(prods, trows, num_segments=m + 1,
-                                    indices_are_sorted=True)[:m]
-    return y.astype(x.dtype)
+    return _add_tail(y, trows, tcols, tvals, planes, m, n).astype(x.dtype)
+
+
+def _add_tail(y, trows, tcols, tvals, planes, m, n):
+    if not trows.shape[0]:
+        return y
+    def _collapse(g):
+        g = g.astype(jnp.float32)
+        return g[:, :n] + g[:, n:] if g.shape[1] > n else g
+    gt = sum(_collapse(jnp.take(p, tcols, axis=0)) for p in planes)
+    # barrier: XLA-TPU MISCOMPILES the scatter-add when the summed
+    # multi-plane gathers fuse into segment_sum's operand (observed
+    # maxdiff ~5 vs host; bit-exact with the fusion cut here)
+    gt = jax.lax.optimization_barrier(gt)
+    prods = tvals[:, None] * gt
+    return y + jax.ops.segment_sum(prods, trows, num_segments=m + 1,
+                                   indices_are_sorted=True)[:m]
 
 
 def gell_spmm(a: DeviceGELL, x: jax.Array) -> jax.Array:
@@ -207,5 +339,6 @@ def gell_spmm(a: DeviceGELL, x: jax.Array) -> jax.Array:
     squeeze = x.ndim == 1
     x2 = x[:, None] if squeeze else x
     y = _gell_spmm(a.cols, a.values, a.tail_rows, a.tail_cols, a.tail_vals,
-                   x2, m=a.shape[0], mode=a.mode)
+                   a.win_cols, a.win_vals, a.win_bases,
+                   x2, m=a.shape[0], mode=a.mode, win_plan=a.win_plan)
     return y[:, 0] if squeeze else y
