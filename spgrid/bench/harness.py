@@ -147,6 +147,15 @@ def run_spmm(
         row.skew = feats.skew
         row.avg_num_neighbours = feats.avg_num_neighbours
         row.cross_row_similarity = feats.cross_row_similarity
+        # value features (ref csr_util_gen.c:1458-2004): compressibility
+        # proxies that drive CV-mode selection; cheap (1-D kmeans on a
+        # value sample) next to the measurement itself
+        from spgrid.features.values import value_features
+        vsample = csr.values if csr.nnz <= 1 << 20 else             csr.values[:: csr.nnz // (1 << 20) + 1]
+        vf = value_features(np.asarray(vsample))
+        row.val_unique_fraction = vf.unique_fraction
+        row.val_exp_unique = float(vf.exp_unique)
+        row.val_kmeans_rel_error_8 = vf.kmeans_rel_error_8
 
         if check_accuracy:
             gold_csr = csr

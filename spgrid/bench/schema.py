@@ -73,6 +73,12 @@ class BenchRow:
     avg_num_neighbours: float = math.nan
     cross_row_similarity: float = math.nan
 
+    # Value features (csr_util_gen.c:1458-2004 value-feature extraction —
+    # drives the CV-mode research; nan when value features are off)
+    val_unique_fraction: float = math.nan
+    val_exp_unique: float = math.nan
+    val_kmeans_rel_error_8: float = math.nan
+
     # Pipeline per-stage gflops (sddmm_bench.cpp:1010-1079), nan for non-pipeline
     gflops_spmm_K: float = math.nan
     gflops_spmm_Q: float = math.nan
@@ -84,10 +90,10 @@ class BenchRow:
     def columns(cls) -> list:
         return [f.name for f in dataclasses.fields(cls)]
 
-    def to_csv(self) -> str:
+    def to_csv(self, columns: Optional[list] = None) -> str:
         vals = []
-        for f in dataclasses.fields(self):
-            v = getattr(self, f.name)
+        for name in (columns or self.columns()):
+            v = getattr(self, name, "")
             if isinstance(v, float):
                 vals.append("" if math.isnan(v) else f"{v:.6g}")
             else:
@@ -110,11 +116,18 @@ class CSVWriter:
         self.path = path
         self._stream = stream
         self._wrote_header = False
+        self._columns = None           # None => current schema
         if path and os.path.exists(path) and os.path.getsize(path) > 0:
             self._wrote_header = True
+            # resume against a file written by an older/newer schema:
+            # project rows onto ITS header so the CSV stays rectangular
+            with open(path) as f:
+                existing = f.readline().strip().split(",")
+            if existing and existing != BenchRow.columns():
+                self._columns = existing
 
     def write(self, row: BenchRow) -> None:
-        line = row.to_csv()
+        line = row.to_csv(self._columns)
         if self.path:
             with open(self.path, "a") as f:
                 if not self._wrote_header:

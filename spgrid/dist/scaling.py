@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from spgrid.core.timing import time_kernel_chained
 from spgrid.dist.mesh import make_mesh, available_devices
-from spgrid.dist.partition import partition_bsr
+from spgrid.dist.partition import partition_bsr, partition_bsr_halo
 from spgrid.dist.spmm import make_dist_spmm
 from spgrid.formats.csr import CSRMatrix
 
@@ -34,6 +34,8 @@ class ScalingPoint:
     nnz_per_s: float
     gflops: float
     efficiency: float      # vs the 1-device point (weak: per-device rate)
+    comm_bytes: int = 0    # analytic X bytes received per device per step
+    device_kind: str = ""  # 'tpu' | 'cpu_virtual (correctness-only)'
 
 
 def scaling_study(
@@ -66,7 +68,10 @@ def scaling_study(
             break
         csr = matrix_for(d).astype(np.dtype(dtype))
         mesh = make_mesh(("data", "model"), shape=(1, d), devices=devices)
-        sharded = partition_bsr(csr, d, bm=8, bk=128)
+        if x_partition == "halo":
+            sharded = partition_bsr_halo(csr, d, bm=8, bk=128)
+        else:
+            sharded = partition_bsr(csr, d, bm=8, bk=128)
         fn = make_dist_spmm(mesh, sharded, x_partition=x_partition,
                             use_pallas=use_pallas, data_axis="data")
         rng = np.random.default_rng(seed)
@@ -75,6 +80,23 @@ def scaling_study(
         timed = time_kernel_chained(lambda xc: fn(xc), x,
                                     min_time_s=min_time_s)
         nnz_rate = csr.nnz / timed.time_per_iter_s
+        itemsize = np.dtype(dtype).itemsize
+        # analytic communication volume per device per step: the halo
+        # exchange moves only neighbor shards (O(halo)); the all-gather
+        # alternative moves (d-1)/d of X.  Time on virtual CPU devices
+        # cannot prove the advantage (one physical core under the mesh),
+        # so the byte accounting carries the claim until a pod run.
+        if d == 1 or x_partition == "replicated":
+            comm = 0
+        elif x_partition == "halo":
+            halo_shards = (getattr(sharded, "halo_left", 0)
+                           + getattr(sharded, "halo_right", 0))
+            comm = halo_shards * (csr.k // d) * n * itemsize
+        else:
+            comm = (d - 1) * (csr.k // d) * n * itemsize
+        kind = devices[0].platform
+        if kind != "tpu":
+            kind = f"{kind}_virtual (correctness-only)"
         if mode == "weak":
             rate_per_dev = nnz_rate / d
             if base_rate is None:
@@ -90,5 +112,7 @@ def scaling_study(
             nnz_per_s=nnz_rate,
             gflops=2.0 * csr.nnz * n / timed.time_per_iter_s / 1e9,
             efficiency=eff,
+            comm_bytes=comm,
+            device_kind=kind,
         ))
     return points

@@ -107,3 +107,28 @@ def quantization_error(csr: CSRMatrix, mode: str = "int8") -> float:
     ref = csr.values.astype(np.float32)
     denom = np.maximum(np.abs(ref), 1e-30)
     return float(np.max(np.abs(deq - ref) / denom)) if len(ref) else 0.0
+
+
+def select_cv_mode(values, tolerance: float):
+    """Pick the cheapest value-compression mode within `tolerance`.
+
+    The reference extracts value features precisely to decide when value
+    compression is safe (csr_util_gen.c:1458-2004 + lib/bitstream.c); this
+    is that decision as a function: int8 row-scaled quantization when the
+    8-cluster kmeans residual (a lower bound proxy for 256-level error)
+    fits, bf16 when ~3 significant digits fit, else None (stay f32).
+    """
+    from spgrid.features.values import value_features
+    import numpy as np
+    v = np.asarray(values)
+    if v.size == 0:
+        return None
+    vf = value_features(v)
+    # constant-ish value sets (few uniques / one exponent) quantize ~free
+    if vf.num_unique <= 256 and tolerance >= 1e-7:
+        return "int8"
+    if tolerance >= 1e-2 and vf.kmeans_rel_error_8 <= tolerance:
+        return "int8"
+    if tolerance >= 4e-3:          # bf16: 8-bit mantissa ~ 0.4% worst-case
+        return "bf16"
+    return None

@@ -76,3 +76,16 @@ def test_cv_panel_dispatch():
     y = np.asarray(spmm_fn("cv_panel")(a, jnp.asarray(x)))[:128]
     gold = cv_to_csr(csr_to_cv(csr, "bf16")).to_dense() @ x
     np.testing.assert_allclose(y, gold, rtol=5e-2, atol=5e-2)
+
+
+def test_select_cv_mode():
+    import numpy as np
+    from spgrid.formats.cv import select_cv_mode
+
+    rng = np.random.default_rng(0)
+    cont = rng.standard_normal(5000).astype(np.float32)
+    assert select_cv_mode(cont, 1e-6) is None        # tight: stay f32
+    assert select_cv_mode(cont, 5e-3) == "bf16"      # loose-ish: bf16
+    few = rng.choice(np.linspace(-1, 1, 17), 5000).astype(np.float32)
+    assert select_cv_mode(few, 1e-6) == "int8"       # few uniques: int8
+    assert select_cv_mode(np.zeros(0), 1.0) is None
