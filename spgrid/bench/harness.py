@@ -60,6 +60,8 @@ KERNELS = {
     "gell": "gell",                # gather-ELL, split24 X (f32-exact)
     "gell16": "gell16",            # gather-ELL, split16 X (~2^-17 on X)
     "cv_gell": "cv_gell",          # gather-ELL, bf16 X (CV-on-X mode)
+    "merge": "merge",              # merge-path equal-nnz blocks (A.3)
+    "sell": "sell",                # SELL-C-sigma (sigma-sorted sliced ELL)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
     "autotune": None,              # measured dispatch (inspector-executor

@@ -32,11 +32,12 @@ from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, \
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
 from spgrid.ops.gell import DeviceGELL, gell_spmm
+from spgrid.ops.merge import DeviceMerge, merge_spmm
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
            "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv",
-           "gell", "gell16", "cv_gell")
+           "gell", "gell16", "cv_gell", "merge")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -111,6 +112,8 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceGELL.from_csr(csr, mode="split16")
     if fmt == "cv_gell":
         return DeviceGELL.from_csr(csr, mode="bf16")
+    if fmt == "merge":
+        return DeviceMerge.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -124,6 +127,7 @@ def spmm_fn(fmt: str) -> Callable:
         "ell": xops.spmm_ell,
         "coo": xops.spmm_coo,
         "csc": xops.spmm_csc,
+        "sell": xops.spmm_sell,
         "ldu": xops.spmm_ldu,
         "cv_bf16": xops.spmm_cv,
         "cv_int8": xops.spmm_cv,
@@ -135,6 +139,7 @@ def spmm_fn(fmt: str) -> Callable:
         "gell": gell_spmm,
         "gell16": gell_spmm,
         "cv_gell": gell_spmm,
+        "merge": merge_spmm,
     }[fmt]
 
 

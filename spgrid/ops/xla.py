@@ -162,6 +162,34 @@ def spmv_sell(sell: DeviceSELL, x: jax.Array) -> jax.Array:
     return y[:m]
 
 
+def spmm_sell(sell: DeviceSELL, x: jax.Array) -> jax.Array:
+    """Y = A @ X from SELL-C-sigma buckets (completes the format for SpMM;
+    ref: spmv_code_sell-C-s/spmvbench/spmvbench.c:1-303).
+
+    Per width-bucket: gather X rows for the (s, C, w) slot block, weighted
+    sum over w, scatter slices back through the sigma-sort permutation.
+    The permutation scatter is the price SELL pays on TPU relative to
+    gell (ops/gell.py), which keeps rows in place and tails the skew —
+    benchmarked head-to-head before retiring either (VERDICT r1 item 6).
+    """
+    m = sell.shape[0]
+    n = x.shape[1]
+    m_pad = sell.perm.shape[0]
+    y_perm = jnp.zeros((m_pad, n), dtype=jnp.float32)
+    for cols, vals, srows in zip(sell.bucket_cols, sell.bucket_vals,
+                                 sell.bucket_slice_rows):
+        s, C, w = cols.shape
+        g = jnp.take(x, cols.reshape(-1), axis=0, fill_value=0) \
+            .reshape(s, C, w, n)
+        part = jnp.sum(vals[..., None].astype(jnp.float32)
+                       * g.astype(jnp.float32), axis=2)   # (s, C, n)
+        idx = (srows[:, None] + jnp.arange(C)[None, :]).reshape(-1)
+        y_perm = y_perm.at[idx].add(part.reshape(s * C, n))
+    # slot i holds original row perm[i]
+    y = jnp.zeros((m_pad, n), dtype=jnp.float32).at[sell.perm].set(y_perm)
+    return y[:m].astype(x.dtype)
+
+
 # --------------------------------------------------------------------------
 # Compressed-value kernels (ref: lib/bitstream.c CV substrate; dequant on VPU)
 # --------------------------------------------------------------------------

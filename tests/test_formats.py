@@ -110,3 +110,20 @@ def test_merge_path_blocks():
     assert nb == 3
     # block starts at nnz 0,4,8 -> rows 0,2,2
     np.testing.assert_array_equal(first_row, [0, 2, 2])
+
+
+def test_spmm_sell_matches_gold():
+    import jax.numpy as jnp
+    from spgrid.gen.artificial import artificial_matrix_generation
+    from spgrid.ops import dispatch
+
+    csr = artificial_matrix_generation(900, 900, 7, 25.0, "gamma", seed=4,
+                                       placement="random", bw=0.6)
+    x = np.random.default_rng(0).standard_normal((900, 32)).astype(np.float32)
+    a = dispatch.build(csr, "sell")
+    y = np.asarray(dispatch.spmm_fn("sell")(a, jnp.asarray(x)), np.float64)
+    rows = np.repeat(np.arange(csr.m), csr.degrees)
+    gold = np.zeros((csr.m, 32))
+    np.add.at(gold, rows, csr.values[:, None].astype(np.float64)
+              * x.astype(np.float64)[csr.col_idx])
+    assert np.allclose(y, gold, atol=1e-3, rtol=1e-4)
