@@ -35,12 +35,38 @@ def read_mtx_coo(
         if not header.startswith("%%MatrixMarket"):
             raise ValueError(f"not a MatrixMarket file: {path}")
         parts = header.lower().split()
-        if len(parts) < 5 or parts[1] != "matrix" or parts[2] != "coordinate":
+        if len(parts) < 5 or parts[1] != "matrix" \
+                or parts[2] not in ("coordinate", "array"):
             raise ValueError(f"unsupported MatrixMarket header: {header}")
-        field, symmetry = parts[3], parts[4]
+        fmt, field, symmetry = parts[2], parts[3], parts[4]
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
+        if fmt == "array":
+            # dense array format (several SuiteSparse validation matrices
+            # ship this way): values column-major, one per line
+            m, n = (int(tok) for tok in line.split())
+            per = 2 if field == "complex" else 1
+            body = np.loadtxt(f, dtype=np.float64, ndmin=2,
+                              max_rows=m * n * 0 + m * n)
+            vals = (np.hypot(body[:, 0], body[:, 1]) if field == "complex"
+                    else body[:, 0] if body.ndim == 2 else body)
+            if vals.size != m * n and symmetry == "general":
+                raise ValueError(f"{path}: array body has {vals.size} "
+                                 f"values, expected {m * n}")
+            if symmetry == "general":
+                dense = vals.reshape(n, m).T
+            else:
+                # lower triangle incl diagonal, column-major
+                dense = np.zeros((m, n))
+                tri = np.tril_indices(m)
+                order = np.lexsort((tri[0], tri[1]))   # column-major walk
+                dense[tri[0][order], tri[1][order]] = vals
+                sign = -1.0 if symmetry == "skew-symmetric" else 1.0
+                dense = dense + sign * np.tril(dense, -1).T
+            rr, cc = np.nonzero(dense)
+            return COOMatrix(rr, cc, dense[rr, cc].astype(dtype), (m, n),
+                             name=_basename(path))
         m, n, nnz = (int(tok) for tok in line.split())
 
         # Bulk-parse the body.

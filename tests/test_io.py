@@ -127,3 +127,30 @@ def test_csr_to_bsr_native_matches_numpy():
     np.testing.assert_array_equal(nat[0], b.block_row_ptr)
     np.testing.assert_array_equal(nat[1], b.block_col_idx)
     np.testing.assert_array_equal(nat[2], b.blocks)
+
+
+def test_read_mtx_array_format(tmp_path):
+    import numpy as np
+    from spgrid.io.mtx import read_mtx
+
+    # general dense array, column-major values
+    a = np.array([[1.0, 0.0], [2.0, 3.0], [0.0, 4.0]])
+    p = tmp_path / "arr.mtx"
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix array real general\n")
+        f.write("3 2\n")
+        for j in range(2):
+            for i in range(3):
+                f.write(f"{a[i, j]}\n")
+    csr = read_mtx(str(p), use_native=False)
+    assert np.allclose(csr.to_dense(), a)
+
+    # symmetric array: lower triangle column-major
+    s = np.array([[2.0, 5.0], [5.0, 7.0]])
+    p2 = tmp_path / "sym.mtx"
+    with open(p2, "w") as f:
+        f.write("%%MatrixMarket matrix array real symmetric\n")
+        f.write("2 2\n")
+        f.write("2.0\n5.0\n7.0\n")
+    csr2 = read_mtx(str(p2), use_native=False)
+    assert np.allclose(csr2.to_dense(), s)
