@@ -1,0 +1,87 @@
+"""Medium synthetic-dataset study at scale (VERDICT r1 item 2).
+
+Stratified slice of the committed medium parameter file
+(matrix_generation_parameters/synthetic_matrices_medium_dataset.txt,
+16,190 lines — the reference's full-factorial medium grid,
+benchmark_code/CPU/AMD/run.sh:346-398): rows with m <= 262144 (the
+1-CPU host generates larger matrices too slowly for a wide slice; the
+spread sample covers the >262k sizes), strided to ~320 matrices.
+
+Every matrix runs `auto` (cost-model dispatch).  Every 4th matrix also
+runs the fixed kernel portfolio so dispatch accuracy (% of matrices
+where auto lands within 10% of the best fixed kernel) can be computed
+from the CSV (analysis: spgrid/viz/dataset.py::dispatch_accuracy).
+
+Output: benchmark_results/tpu-v5e/medium_study.csv (resumable; exit 2 on
+device poisoning for the retry wrapper).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spgrid.bench.harness import run_spmm, BenchConfig  # noqa: E402
+from spgrid.bench.schema import CSVWriter  # noqa: E402
+from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
+from spgrid.gen.params import read_param_file  # noqa: E402
+
+PARAMS = os.path.join(os.path.dirname(__file__), "..",
+                      "matrix_generation_parameters",
+                      "synthetic_matrices_medium_dataset.txt")
+OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
+                   "tpu-v5e", "medium_study.csv")
+
+MAX_ROWS = 262144
+TARGET = 320
+PORTFOLIO = ("gell", "cv_gell", "merge", "sell", "ell_xla", "bsr_pallas",
+             "panel_pallas", "dense")
+PORTFOLIO_EVERY = 4
+
+
+def main():
+    params = [p for p in read_param_file(PARAMS) if p.nr_rows <= MAX_ROWS]
+    stride = max(1, len(params) // TARGET)
+    params = params[::stride]
+    print(f"{len(params)} matrices (stride {stride})", flush=True)
+    writer = CSVWriter(OUT)
+    done = writer.done_keys()
+    cfg = BenchConfig(num_cols=512, min_time_s=0.25)
+    for i, p in enumerate(params):
+        kernels = ["auto"]
+        if i % PORTFOLIO_EVERY == 0:
+            kernels += list(PORTFOLIO)
+        name = (f"art_{p.nr_rows}_{p.nr_cols}_{p.avg_nnz_per_row:g}_"
+                f"{p.std_nnz_per_row:g}_{p.distribution}_{p.placement}_"
+                f"{p.bw:g}_{p.skew:g}_{p.avg_num_neighbours:g}_"
+                f"{p.cross_row_similarity:g}_{p.seed}")
+        todo = [kk for kk in kernels if (name, kk, "512") not in done]
+        if not todo:
+            continue
+        print(f"[{i+1}/{len(params)}] {name} -> {todo}", flush=True)
+        try:
+            csr = artificial_matrix_generation(
+                p.nr_rows, p.nr_cols, p.avg_nnz_per_row, p.std_nnz_per_row,
+                p.distribution, seed=p.seed, placement=p.placement,
+                bw=p.bw, skew=p.skew,
+                avg_num_neighbours=p.avg_num_neighbours,
+                cross_row_similarity=p.cross_row_similarity, name=name)
+        except Exception as e:  # noqa: BLE001
+            print(f"  gen FAILED: {type(e).__name__}: {e}", flush=True)
+            continue
+        for kk in todo:
+            try:
+                row = run_spmm(csr, kernel=kk, config=cfg)
+                writer.write(row)
+                print(f"  {kk}: {row.fmt} {row.gflops:.1f} GF "
+                      f"passed={row.errors_passed}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {kk} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

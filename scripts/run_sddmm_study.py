@@ -1,0 +1,60 @@
+"""SDDMM sparsity/mask-type study (VERDICT r1 item 3).
+
+Reference masks of interest are 0.95-0.98 sparse
+(sddmm_code_bench/sddmm_mask.h:28-34); round 1 only benchmarked the
+pipeline at 0.5/0.9/0.95 with band_and_random.  This study runs the
+standalone SDDMM at sparsity {0.5, 0.9, 0.95, 0.98} x mask type
+{band_and_random, band_and_decay} x matmul precision {highest, high},
+plus pipeline rows at the same sparsities.
+
+The `high` precision column tests the 3-pass-bf16 matmul against the f32
+oracle gate: on occupied-everywhere masks the SDDMM is MXU-bound on a
+dense-shaped Q.K^T, so a passing 3-pass run is a near-2x win.
+
+Output: benchmark_results/tpu-v5e/sddmm_study.csv (+ pipeline rows
+appended to pipeline.csv).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spgrid.bench.harness import run_sddmm, run_pipeline, BenchConfig  # noqa: E402
+from spgrid.bench.schema import CSVWriter  # noqa: E402
+
+RES = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
+                   "tpu-v5e")
+OUT = os.path.join(RES, "sddmm_study.csv")
+LENGTH = 4096
+
+
+def main():
+    writer = CSVWriter(OUT)
+    done = writer.done_keys()
+    for mtype in ("band_and_random", "band_and_decay"):
+        for sp in (0.5, 0.9, 0.95, 0.98):
+            for prec in ("highest", "high"):
+                name = f"mask_{LENGTH}_{mtype}_sp{sp}_{prec}"
+                if (name, "sddmm_pallas", "512") in done:
+                    print("skip", name, flush=True)
+                    continue
+                cfg = BenchConfig(num_cols=512, sparsity=sp,
+                                  sparse_attention_type=mtype,
+                                  precision=prec, min_time_s=0.3)
+                try:
+                    row = run_sddmm(LENGTH, config=cfg)
+                    row.matrix_name = name
+                    writer.write(row)
+                    print(f"{name}: {row.gflops:.0f} GFLOPS "
+                          f"passed={row.errors_passed}", flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name} FAILED: {type(e).__name__}: {e}",
+                          flush=True)
+                    if "RESOURCE_EXHAUSTED" in str(e):
+                        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

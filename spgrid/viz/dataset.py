@@ -102,3 +102,28 @@ def twin_ape(df, *, twin_suffix: str = "_twin", key: str = "matrix_name",
     out["ape"] = (out["twin"] - out["real"]).abs() / out["real"].abs() * 100
     out.attrs["mape"] = float(out["ape"].mean()) if len(out) else float("nan")
     return out
+
+
+def dispatch_accuracy(df, *, tol: float = 0.10, key: str = "matrix_name",
+                      auto_kernel: str = "auto"):
+    """%% of matrices where `auto` lands within `tol` of the best fixed
+    kernel (the dispatch-quality number VERDICT r1 asked for; analysis of
+    run_medium_study.py portfolio rows)."""
+    import pandas as pd  # noqa: F401
+
+    out = []
+    for name, g in df.groupby(key):
+        auto = g[g["kernel"] == auto_kernel]
+        fixed = g[g["kernel"] != auto_kernel]
+        if "errors_passed" in g.columns:
+            fixed = fixed[fixed["errors_passed"] == 1]
+        fixed = fixed.dropna(subset=["gflops"])
+        if auto.empty or fixed.empty:
+            continue
+        best = float(fixed["gflops"].max())
+        a = float(auto["gflops"].iloc[0])
+        if best > 0:
+            out.append((name, a, best, a >= (1 - tol) * best))
+    if not out:
+        return float("nan"), out
+    return sum(1 for *_, ok in out if ok) / len(out), out

@@ -80,3 +80,19 @@ def test_viz_cli(tmp_path):
     assert (out / "gflops_by_matrix.png").exists()
     assert (out / "roofline.png").exists()
     assert (out / "sweep_density.png").exists()
+
+
+def test_dispatch_accuracy():
+    import pandas as pd
+    from spgrid.viz.dataset import dispatch_accuracy
+
+    df = pd.DataFrame({
+        "matrix_name": ["a"] * 3 + ["b"] * 3,
+        "kernel": ["auto", "gell", "dense"] * 2,
+        "gflops": [95.0, 100.0, 50.0,      # a: auto within 10% of best
+                   40.0, 100.0, 80.0],     # b: auto far below best
+        "errors_passed": [1] * 6,
+    })
+    frac, detail = dispatch_accuracy(df)
+    assert frac == 0.5
+    assert len(detail) == 2
