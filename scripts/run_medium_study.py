@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -41,6 +42,8 @@ PORTFOLIO_EVERY = 4
 
 
 def main():
+    t0 = time.time()
+    max_s = float(os.environ.get("MEDIUM_STUDY_MAX_S", 9000))
     params = [p for p in read_param_file(PARAMS) if p.nr_rows <= MAX_ROWS]
     stride = max(1, len(params) // TARGET)
     params = params[::stride]
@@ -59,6 +62,10 @@ def main():
         todo = [kk for kk in kernels if (name, kk, "512") not in done]
         if not todo:
             continue
+        if time.time() - t0 > max_s:
+            # resumable: leave the rest for the next round/restart
+            print(f"wall budget {max_s:.0f}s reached; stopping", flush=True)
+            return
         print(f"[{i+1}/{len(params)}] {name} -> {todo}", flush=True)
         try:
             csr = artificial_matrix_generation(
