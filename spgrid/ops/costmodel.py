@@ -80,9 +80,9 @@ def _panel_time(f: MatrixFeatures, n: int) -> float:
 
 
 def _gell_windowable(f: MatrixFeatures) -> bool:
-    """Can 16k-row chunks gather from <16k-row X windows?  Approximated
+    """Can row chunks gather from <=24576-row X windows?  Approximated
     from the measured bandwidth stats (chunk col span ~ avg_bw + chunk)."""
-    return f.avg_bw + 2.0 * f.std_bw + 2048 <= 16384
+    return f.avg_bw + 2.0 * f.std_bw + 1024 <= 24576
 
 
 def _gather_rate(f: MatrixFeatures, n: int, bytes_per_elem: float) -> float:
@@ -133,6 +133,12 @@ def _coo_time(f: MatrixFeatures, n: int) -> float:
         + (3.0 * f.nnz * n * 4 + f.m * n * 4) / C.combine_bw
 
 
+def _wcoo_bands_time(f: MatrixFeatures, n: int) -> float:
+    """Aligned-slot Pallas kernel (round-1): slot-stream bound; measured
+    ~26-31 ns/nnz across banded fills (r1 sweep rows)."""
+    return f.nnz * 28e-9 + f.m * n * 4 / C.eff_bw
+
+
 def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
     """Seconds for one SpMM call of `fmt` on a matrix with features `f`.
 
@@ -162,13 +168,17 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
         return _ell_time(f, n) + C.dispatch
     if fmt == "coo":
         return _coo_time(f, n) + C.dispatch
+    if fmt == "wcoo_bands":
+        if f.avg_bw_scaled >= 0.25:
+            return math.inf          # slot packing collapses unbanded
+        return _wcoo_bands_time(f, n) + C.dispatch
     return math.inf
 
 
 # Default candidate set for cost-based auto dispatch (f32-exact kernels
 # only: CV modes trade accuracy and are opted into explicitly).
 AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
-                   "coo")
+                   "coo", "wcoo_bands")
 
 
 def select_format_cost(f: MatrixFeatures, n: int = 512,

@@ -120,7 +120,9 @@ class DeviceGELL:
         row gather runs ~4-5x faster when its source is < ~64MB, so for
         column-local (banded) matrices each row-chunk gathers from a
         dynamic slice of X instead of the full array)."""
-        SPAN_CAP = 16384                    # rows: 32MB f32 window at n=512
+        SPAN_CAP = 24576                    # rows: 48MB f32 window at n=512
+                                            # (gather fast path needs the
+                                            # source under ~64MB)
         m_pad, S = cols.shape
         self.win_plan = None
         empty = jnp.zeros((0,), jnp.int32)
@@ -128,7 +130,7 @@ class DeviceGELL:
         if k <= SPAN_CAP:
             return                          # source already small: direct
         real = vals != 0
-        for rb in (16384, 8192, 4096, 2048):
+        for rb in (16384, 8192, 4096, 2048, 1024):
             if rb > m_pad and rb != 16384:
                 continue
             rbe = min(rb, -(-m_pad // 8) * 8)
