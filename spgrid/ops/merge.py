@@ -59,7 +59,7 @@ class DeviceMerge:
         T = block_nnz
         rows = np.repeat(np.arange(max(m, 1), dtype=np.int64), csr.degrees)
         cols = csr.col_idx.astype(np.int64)
-        vals = csr.values.astype(np.float32)
+        vals = np.asarray(csr.values)
         nnz = csr.nnz
 
         # cut points: every T nnz, plus early cuts so no block spans more
@@ -78,7 +78,7 @@ class DeviceMerge:
         starts = np.asarray(cuts[:-1], dtype=np.int64)
 
         cols_b = np.zeros((B, T), np.int32)
-        vals_b = np.zeros((B, T), np.float32)
+        vals_b = np.zeros((B, T), vals.dtype)
         locals_b = np.zeros((B, T), np.int32)
         base_rows = rows[starts] if nnz else np.zeros(B, np.int64)
         for b in range(B):
@@ -114,15 +114,16 @@ class DeviceMerge:
 def _merge_spmm(cols, vals, local_rows, out_rows, x, *, m):
     B, T = cols.shape
     k, n = x.shape
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     g = jnp.take(x, cols.reshape(-1), axis=0)          # (B*T, n)
     # value-weighted one-hot scatter on the MXU at ambient precision
     onehot = jax.nn.one_hot(local_rows, ROWS_CAP, axis=1,
-                            dtype=jnp.float32)          # (B, 128, T)
-    a = onehot * vals[:, None, :]
+                            dtype=acc)                  # (B, 128, T)
+    a = onehot * vals[:, None, :].astype(acc)
     parts = jax.lax.dot_general(
-        a, g.reshape(B, T, n).astype(jnp.float32),
+        a, g.reshape(B, T, n).astype(acc),
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # (B, 128, n)
+        preferred_element_type=acc)                     # (B, 128, n)
     y = jax.ops.segment_sum(parts.reshape(B * ROWS_CAP, n), out_rows,
                             num_segments=m + 1, indices_are_sorted=True)
     return y[:m].astype(x.dtype)

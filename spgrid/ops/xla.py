@@ -27,9 +27,15 @@ from spgrid.ops.layouts import (
 # Dense GEMM bound (ref: spmm_kernel_mkl_gemm.cpp — upper-bound baseline)
 # --------------------------------------------------------------------------
 
+def _acc_dtype(x):
+    """f32 accumulation except for f64 inputs (the f64 correctness leg)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
+
 @jax.jit
 def gemm(a: jax.Array, x: jax.Array) -> jax.Array:
-    return jnp.dot(a, x, preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.dot(a, x, preferred_element_type=_acc_dtype(x)) \
+        .astype(x.dtype)
 
 
 @jax.jit
@@ -39,7 +45,8 @@ def spmm_dense(a_dense: jax.Array, x: jax.Array) -> jax.Array:
     For DLMC-class matrices (~50% dense) this rides the MXU at full tilt and
     is the honest TPU analogue of "just call the vendor GEMM"; flops are
     still accounted sparse (2*nnz*n)."""
-    return jnp.dot(a_dense, x, preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.dot(a_dense, x,
+                   preferred_element_type=_acc_dtype(x)).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -108,7 +115,7 @@ def _spmm_ell(cols, vals, x, m, row_block):
         cb, vb = args
         g = jnp.take(x, cb.reshape(-1), axis=0, fill_value=0).reshape(rb, w, n)
         return jnp.einsum("rw,rwn->rn", vb, g,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+                          preferred_element_type=_acc_dtype(x)).astype(x.dtype)
 
     y = jax.lax.map(block, (cols_b, vals_b))
     return y.reshape(nb * rb, n)[:m]
@@ -133,7 +140,7 @@ def _spmm_bsr(block_rows, block_cols, blocks, x, mb, m):
     xb = x.reshape(kb, bk, n)
     gathered = jnp.take(xb, block_cols, axis=0, fill_value=0)   # (nb, bk, n)
     prods = jnp.einsum("bij,bjn->bin", blocks, gathered,
-                       preferred_element_type=jnp.float32)      # (nb, bm, n)
+                       preferred_element_type=_acc_dtype(x))    # (nb, bm, n)
     out = jax.ops.segment_sum(prods, block_rows, num_segments=mb + 1)[:mb]
     return out.reshape(mb * bm, n)[:m].astype(x.dtype)
 
@@ -175,18 +182,19 @@ def spmm_sell(sell: DeviceSELL, x: jax.Array) -> jax.Array:
     m = sell.shape[0]
     n = x.shape[1]
     m_pad = sell.perm.shape[0]
-    y_perm = jnp.zeros((m_pad, n), dtype=jnp.float32)
+    acc = _acc_dtype(x)
+    y_perm = jnp.zeros((m_pad, n), dtype=acc)
     for cols, vals, srows in zip(sell.bucket_cols, sell.bucket_vals,
                                  sell.bucket_slice_rows):
         s, C, w = cols.shape
         g = jnp.take(x, cols.reshape(-1), axis=0, fill_value=0) \
             .reshape(s, C, w, n)
-        part = jnp.sum(vals[..., None].astype(jnp.float32)
-                       * g.astype(jnp.float32), axis=2)   # (s, C, n)
+        part = jnp.sum(vals[..., None].astype(acc)
+                       * g.astype(acc), axis=2)           # (s, C, n)
         idx = (srows[:, None] + jnp.arange(C)[None, :]).reshape(-1)
         y_perm = y_perm.at[idx].add(part.reshape(s * C, n))
     # slot i holds original row perm[i]
-    y = jnp.zeros((m_pad, n), dtype=jnp.float32).at[sell.perm].set(y_perm)
+    y = jnp.zeros((m_pad, n), dtype=acc).at[sell.perm].set(y_perm)
     return y[:m].astype(x.dtype)
 
 
