@@ -23,11 +23,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from spgrid.bench.harness import run_sddmm, run_pipeline, BenchConfig  # noqa: E402
 from spgrid.bench.schema import CSVWriter  # noqa: E402
+from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
 
 RES = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
                    "tpu-v5e")
 OUT = os.path.join(RES, "sddmm_study.csv")
+PIPE_OUT = os.path.join(RES, "pipeline.csv")
 LENGTH = 4096
+
+
+def _weight(seed):
+    # DLMC-twin-class 0.5-dense weights, like the committed pipeline rows
+    return artificial_matrix_generation(512, 512, 256, 32, "normal",
+                                        seed=seed, placement="random",
+                                        bw=1.0)
 
 
 def main():
@@ -54,6 +63,32 @@ def main():
                           flush=True)
                     if "RESOURCE_EXHAUSTED" in str(e):
                         sys.exit(2)
+
+    # pipeline rows at the high-sparsity masks + decay type (the committed
+    # pipeline.csv only covers band_and_random at 0.5/0.9/0.95)
+    pw = CSVWriter(PIPE_OUT)
+    pdone = pw.done_keys()
+    length = 512
+    for mtype in ("band_and_random", "band_and_decay"):
+        for sp in (0.9, 0.95, 0.98):
+            name = f"pipeline_dlmc{length}_{mtype}_sp{sp}"
+            if (name, "pipeline_pallas", "512") in pdone:
+                continue
+            cfg = BenchConfig(num_cols=512, sparsity=sp,
+                              sparse_attention_type=mtype, min_time_s=0.3)
+            try:
+                row = run_pipeline(_weight(1), _weight(2), _weight(3),
+                                   config=cfg)
+                row.matrix_name = name
+                row.kernel = "pipeline_pallas"
+                pw.write(row)
+                print(f"{name}: total {row.gflops:.0f} sddmm "
+                      f"{row.gflops_sddmm:.0f} passed={row.errors_passed}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    sys.exit(2)
 
 
 if __name__ == "__main__":
