@@ -39,6 +39,8 @@ class V5eConstants:
     combine_bw: float = 280e9      # multi-stream elementwise+reduce bytes/s
     grid_step: float = 300e-9      # Pallas per-grid-step overhead
     dispatch: float = 25e-6        # fixed per-op overheads inside a call
+    # per-format multiplicative corrections, refit from sweep CSVs
+    fudge: dict = dataclasses.field(default_factory=dict)
 
 
 C = V5eConstants()
@@ -139,6 +141,10 @@ def _wcoo_bands_time(f: MatrixFeatures, n: int) -> float:
     return f.nnz * 28e-9 + f.m * n * 4 / C.eff_bw
 
 
+def _fudged(fmt: str, t: float) -> float:
+    return t * C.fudge.get(fmt, 1.0)
+
+
 def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
     """Seconds for one SpMM call of `fmt` on a matrix with features `f`.
 
@@ -147,31 +153,31 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
     if fmt == "dense":
         if f.m * f.n * 4 > (1 << 31):
             return math.inf
-        return _dense_time(f, n, C.mxu_f32) + C.dispatch
+        return _fudged(fmt, _dense_time(f, n, C.mxu_f32)) + C.dispatch
     if fmt in ("bsr_pallas", "bsr"):
-        return _bsr_time(f, n) + C.dispatch
+        return _fudged(fmt, _bsr_time(f, n)) + C.dispatch
     if fmt in ("panel_pallas", "cv_panel"):
         est_panel_bytes = min(1.0, f.density * 2048 * 128) * f.m * f.n * 4
         if est_panel_bytes > (1 << 31):
             return math.inf
-        return _panel_time(f, n) + C.dispatch
+        return _fudged(fmt, _panel_time(f, n)) + C.dispatch
     if fmt == "gell":
-        return _gell_time(f, n, "f32") + C.dispatch
+        return _fudged(fmt, _gell_time(f, n, "f32")) + C.dispatch
     if fmt == "gell16":
-        return _gell_time(f, n, "split16") + C.dispatch
+        return _fudged(fmt, _gell_time(f, n, "split16")) + C.dispatch
     if fmt == "cv_gell":
-        return _gell_time(f, n, "bf16") + C.dispatch
+        return _fudged(fmt, _gell_time(f, n, "bf16")) + C.dispatch
     if fmt == "ell":
         slots_est = f.m * max(f.max_nnz_per_row, 1)
         if slots_est > 32 * max(f.nnz, 1) and slots_est * 8 > (64 << 20):
             return math.inf
-        return _ell_time(f, n) + C.dispatch
+        return _fudged(fmt, _ell_time(f, n)) + C.dispatch
     if fmt == "coo":
-        return _coo_time(f, n) + C.dispatch
+        return _fudged(fmt, _coo_time(f, n)) + C.dispatch
     if fmt == "wcoo_bands":
         if f.avg_bw_scaled >= 0.25:
             return math.inf          # slot packing collapses unbanded
-        return _wcoo_bands_time(f, n) + C.dispatch
+        return _fudged(fmt, _wcoo_bands_time(f, n)) + C.dispatch
     return math.inf
 
 
@@ -179,6 +185,60 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
 # only: CV modes trade accuracy and are opted into explicitly).
 AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
                    "coo", "wcoo_bands")
+
+
+def fit_constants(df, *, min_rows: int = 3) -> dict:
+    """Refit per-format corrections from measured sweep rows.
+
+    `df` is a merged result frame (viz.dataset.merge_result_csvs) with
+    fixed-kernel rows.  For each format with >= min_rows oracle-passing
+    rows, the median measured/predicted time ratio becomes a
+    multiplicative correction applied by estimate_spmm_time — the
+    reference's empirical-sweep -> model-refit loop (SURVEY §6) with the
+    analytic forms as the basis.  Returns the fitted corrections (also
+    installed into the live constants).
+    """
+    import numpy as np  # noqa: F811
+
+    from spgrid.features.structural import MatrixFeatures
+
+    ratios: dict = {}
+    need = ["fmt", "time", "csr_m", "csr_k", "csr_nnz", "input_columns",
+            "avg_nnz_per_row", "std_nnz_per_row", "avg_bw_scaled",
+            "std_bw_scaled", "skew"]
+    if any(c not in df.columns for c in need):
+        return {}
+    sub = df
+    if "errors_passed" in df.columns:
+        sub = df[df["errors_passed"] == 1]
+    for _, r in sub.iterrows():
+        fmt = r["fmt"]
+        m, k = int(r["csr_m"]), int(r["csr_k"])
+        bw = float(r["avg_bw_scaled"]) * k
+        f = MatrixFeatures(
+            name="", m=m, n=k, nnz=int(r["csr_nnz"]),
+            density=float(r["csr_nnz"]) / max(m * k, 1),
+            mem_footprint=0.0, mem_range="",
+            avg_nnz_per_row=float(r["avg_nnz_per_row"]),
+            std_nnz_per_row=float(r["std_nnz_per_row"]),
+            min_nnz_per_row=0,
+            max_nnz_per_row=int(float(r["avg_nnz_per_row"])
+                                * (1 + float(r["skew"]))),
+            avg_bw=bw, std_bw=float(r["std_bw_scaled"]) * k,
+            avg_bw_scaled=float(r["avg_bw_scaled"]),
+            std_bw_scaled=float(r["std_bw_scaled"]),
+            avg_sc=0.0, std_sc=0.0, avg_sc_scaled=0.0, std_sc_scaled=0.0,
+            skew=float(r["skew"]), avg_num_neighbours=0.0,
+            cross_row_similarity=0.0)
+        pred = estimate_spmm_time(f, fmt, int(r["input_columns"]))
+        if math.isfinite(pred) and pred > 0 and float(r["time"]) > 0:
+            ratios.setdefault(fmt, []).append(float(r["time"]) / pred)
+    fitted = {fmt: float(np.median(v)) for fmt, v in ratios.items()
+              if len(v) >= min_rows}
+    # apply on top of any existing correction (pred already includes it)
+    for fmt, rr in fitted.items():
+        C.fudge[fmt] = C.fudge.get(fmt, 1.0) * rr
+    return fitted
 
 
 def select_format_cost(f: MatrixFeatures, n: int = 512,

@@ -138,3 +138,31 @@ def test_gell_windowed_skips_scattered():
     y = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
     m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
     assert m.mape < 5e-6, m.mape
+
+
+def test_fit_constants_roundtrip():
+    import pandas as pd
+    from spgrid.ops import costmodel
+
+    base = dict(csr_m=50000, csr_k=50000, csr_nnz=300000, input_columns=512,
+                avg_nnz_per_row=6.0, std_nnz_per_row=2.0,
+                avg_bw_scaled=0.05, std_bw_scaled=0.01, skew=1.0,
+                errors_passed=1, fmt="gell")
+    f = costmodel.MatrixFeatures(
+        name="", m=50000, n=50000, nnz=300000, density=1.2e-4,
+        mem_footprint=0.0, mem_range="", avg_nnz_per_row=6.0,
+        std_nnz_per_row=2.0, min_nnz_per_row=0, max_nnz_per_row=12,
+        avg_bw=2500.0, std_bw=500.0, avg_bw_scaled=0.05,
+        std_bw_scaled=0.01, avg_sc=0, std_sc=0, avg_sc_scaled=0,
+        std_sc_scaled=0, skew=1.0, avg_num_neighbours=0,
+        cross_row_similarity=0)
+    pred = costmodel.estimate_spmm_time(f, "gell", 512)
+    try:
+        df = pd.DataFrame([dict(base, time=2 * pred)] * 4)
+        fitted = costmodel.fit_constants(df)
+        assert abs(fitted["gell"] - 2.0) < 0.2
+        # the installed correction doubles subsequent estimates
+        assert abs(costmodel.estimate_spmm_time(f, "gell", 512)
+                   / pred - 2.0) < 0.3
+    finally:
+        costmodel.C.fudge.clear()
