@@ -91,7 +91,6 @@ class DeviceGELL:
         slots = max(1, slots)
         m_pad = -(-max(m, 1) // 8) * 8
 
-        in_slot = np.minimum(deg, slots)
         cols = np.zeros((m_pad, slots), dtype=np.int32)  # pad: row 0, val 0
         vals = np.zeros((m_pad, slots), dtype=np.float32)
         # slot assignment: first `slots` nnz of each row
@@ -204,6 +203,7 @@ def _split_planes(x: jax.Array, nplanes: int) -> tuple:
     return tuple(planes)
 
 
+# gathered bf16-equivalents per slot (f32 = 2 bf16 units of bytes)
 _PLANES = {"split16": 2, "split24": 3, "bf16": 1, "f32": 2}
 
 
