@@ -121,7 +121,9 @@ def test_select_format_rules():
     dense_f = matrix_features(random_csr(64, 64, density=0.5, seed=1))
     assert select_format(dense_f) == "dense"
     sparse_f = matrix_features(random_csr(2000, 2000, density=0.001, seed=1))
-    assert select_format(sparse_f) in ("ell", "coo", "wcoo_pallas")
+    # cost-model era: tiny hypersparse may still be MXU-trivial; any of
+    # the gather family or dense is a sane pick at this size
+    assert select_format(sparse_f) in ("ell", "coo", "gell", "dense")
 
 
 def test_autotune_runs(prob):
