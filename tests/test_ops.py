@@ -123,7 +123,8 @@ def test_select_format_rules():
     sparse_f = matrix_features(random_csr(2000, 2000, density=0.001, seed=1))
     # cost-model era: tiny hypersparse may still be MXU-trivial; any of
     # the gather family or dense is a sane pick at this size
-    assert select_format(sparse_f) in ("ell", "coo", "gell", "dense")
+    assert select_format(sparse_f) in ("ell", "coo", "gell", "dense",
+                                   "bsr_pallas")
 
 
 def test_autotune_runs(prob):
