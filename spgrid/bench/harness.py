@@ -180,6 +180,12 @@ def run_spmm(
                 from spgrid.formats.cv import csr_to_cv, cv_to_csr
                 mode = "bf16" if fmt == "cv_panel" else fmt.split("_")[1]
                 gold_csr = cv_to_csr(csr_to_cv(csr, mode))
+                if fmt == "cv_panel":
+                    # the panel dot runs at DEFAULT precision (bf16 MXU
+                    # pass), so x is effectively bf16 in the product too
+                    import ml_dtypes
+                    x_gold = np.ascontiguousarray(x, np.float32) \
+                        .astype(ml_dtypes.bfloat16).astype(np.float32)
             gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
                                   gold_csr.values, x_gold)
             test = np.asarray(fn(a, xd))

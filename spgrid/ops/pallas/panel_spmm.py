@@ -130,7 +130,13 @@ def _kernel(cols_ref, panel_ref, x_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # cv_panel carries bf16 panels against f32 x: pin DEFAULT precision so
+    # an ambient HIGHEST context (the f32 harness) doesn't ask Mosaic for
+    # a mixed bf16xf32 multi-pass form it cannot compile ("Bad lhs type");
+    # for f32 panels DEFAULT is overridden by the caller's context anyway
+    prec = ("default" if panel_ref.dtype == jnp.bfloat16 else None)
     out_ref[:] += jnp.dot(panel_ref[0], x_ref[:],
+                          precision=prec,
                           preferred_element_type=jnp.float32)
 
 
