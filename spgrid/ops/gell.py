@@ -207,13 +207,18 @@ def _split_planes(x: jax.Array, nplanes: int) -> tuple:
 _PLANES = {"split16": 2, "split24": 3, "bf16": 1, "f32": 2}
 
 
+_CHUNK_BUDGET = 3 << 30     # bytes of gathered intermediate per chunk
+
+
 def _chunk_rows(m_pad: int, slots: int, n: int, mode: str,
-                budget: int = 3 << 30) -> int:
+                budget: int | None = None) -> int:
     """Row-chunk size keeping the gathered intermediate under `budget` B.
 
     Chunking costs ~1-2ms per extra chunk (measured), so the budget is
     generous: chunk only when the gathered intermediate would strain HBM.
     """
+    if budget is None:
+        budget = _CHUNK_BUDGET
     per_row = max(slots * _PLANES[mode] * n * 2, 1)
     rows = max(budget // per_row, 8)
     rows = min(rows, m_pad)
@@ -285,10 +290,8 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
         cols = jnp.pad(cols, ((0, pad), (0, 0)))
         vals = jnp.pad(vals, ((0, pad), (0, 0)))
     use_mxu = mode in ("split16", "split24", "bf16")
-    outs = []
-    for b in range(nb):                       # static unroll: no map overhead
-        cb = jax.lax.dynamic_slice_in_dim(cols, b * rb, rb, 0)
-        vb = jax.lax.dynamic_slice_in_dim(vals, b * rb, rb, 0)
+
+    def chunk_out(cb, vb):
         idxb = cb.reshape(-1)
         if use_mxu:
             # values split into bf16 planes too: every MXU product is an
@@ -308,14 +311,23 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
                 o = _mxu_combine(ap, bmat, rb // 8, S, w)
                 o32 = (o[:, :n] + o[:, n:]) if w > n else o
                 yb = o32 if yb is None else yb + o32
-            outs.append(yb)
-        else:
-            g32 = sum(jnp.take(p, idxb, axis=0).astype(jnp.float32)
-                      for p in planes).reshape(rb, S, n)
-            # explicit mul+sum: full f32 on the VPU regardless of the
-            # ambient matmul precision
-            outs.append(jnp.sum(vb[:, :, None] * g32, axis=1))
-    y = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            return yb
+        g32 = sum(jnp.take(p, idxb, axis=0).astype(jnp.float32)
+                  for p in planes).reshape(rb, S, n)
+        # explicit mul+sum: full f32 on the VPU regardless of the
+        # ambient matmul precision
+        return jnp.sum(vb[:, :, None] * g32, axis=1)
+
+    if nb == 1:
+        y = chunk_out(cols, vals)
+    else:
+        # lax.scan, NOT an unrolled loop: each gather's scoped SMEM is
+        # ~360KB, and unrolled chunks stack allocations past the 1MB SMEM
+        # budget (observed compile OOM at nb=3 on m=203k)
+        _, ys = jax.lax.scan(
+            lambda c, blk: (0, chunk_out(*blk)), 0,
+            (cols.reshape(nb, rb, S), vals.reshape(nb, rb, S)))
+        y = ys.reshape(nb * rb, n)
     y = y[:m]
     return _add_tail(y, trows, tcols, tvals, planes, m, n).astype(x.dtype)
 

@@ -166,3 +166,19 @@ def test_fit_constants_roundtrip():
                    / pred - 2.0) < 0.3
     finally:
         costmodel.C.fudge.clear()
+
+
+def test_gell_chunked_scan_path(monkeypatch):
+    """Multi-chunk (lax.scan) path: tiny budget forces nb > 1."""
+    from spgrid.ops import gell as gmod
+
+    monkeypatch.setattr(gmod, "_CHUNK_BUDGET", 1 << 16)
+    csr = artificial_matrix_generation(3000, 3000, 6, 2.0, "normal",
+                                       seed=8, placement="random", bw=0.9)
+    x = np.random.default_rng(6).standard_normal((3000, 32)) \
+        .astype(np.float32)
+    a = DeviceGELL.from_csr(csr, mode="f32")
+    assert a.win_plan is None
+    y = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
+    m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
+    assert m.mape < 5e-6, m.mape
