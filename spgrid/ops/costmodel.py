@@ -40,7 +40,10 @@ class V5eConstants:
     grid_step: float = 300e-9      # Pallas per-grid-step overhead
     dispatch: float = 25e-6        # fixed per-op overheads inside a call
     # per-format multiplicative corrections, refit from sweep CSVs
-    fudge: dict = dataclasses.field(default_factory=dict)
+    # (defaults: fit_constants over the committed round-2 spread sample
+    # + pallas smoke — medians of measured/predicted time per format)
+    fudge: dict = dataclasses.field(default_factory=lambda: {
+        "gell": 1.11, "cv_gell": 0.81, "bsr_pallas": 0.88})
 
 
 C = V5eConstants()
@@ -213,6 +216,10 @@ def fit_constants(df, *, min_rows: int = 3) -> dict:
         sub = df[df["errors_passed"] == 1]
     for _, r in sub.iterrows():
         fmt = r["fmt"]
+        if any(not np.isfinite(float(r.get(c) if r.get(c) is not None
+                                     else float("nan")))
+               for c in need if c not in ("fmt",)):
+            continue          # pipeline/sddmm rows lack feature columns
         m, k = int(r["csr_m"]), int(r["csr_k"])
         bw = float(r["avg_bw_scaled"]) * k
         f = MatrixFeatures(
