@@ -35,7 +35,10 @@ def main():
         old_g = float(r[mgi]) if r[mgi] else 0.0
         new_g = float(new[gi]) if new[gi] else 0.0
         if new_g > old_g:
-            mrows[i] = new[:len(mhdr)] + [""] * (len(mhdr) - len(new))
+            # map by column name: the refresh file may carry a newer
+            # schema whose columns are ordered differently
+            nd = dict(zip(rhdr, new))
+            mrows[i] = [nd.get(c, "") for c in mhdr]
             n_rep += 1
     with open(MAIN, "w") as f:
         for r in mrows:
