@@ -85,9 +85,9 @@ def _panel_time(f: MatrixFeatures, n: int) -> float:
 
 
 def _gell_windowable(f: MatrixFeatures) -> bool:
-    """Can row chunks gather from <=24576-row X windows?  Approximated
+    """Can row chunks gather from <=30720-row X windows?  Approximated
     from the measured bandwidth stats (chunk col span ~ avg_bw + chunk)."""
-    return f.avg_bw + 2.0 * f.std_bw + 1024 <= 24576
+    return f.avg_bw + 2.0 * f.std_bw + 1024 <= 30720
 
 
 def _gather_rate(f: MatrixFeatures, n: int, bytes_per_elem: float) -> float:

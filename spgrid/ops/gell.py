@@ -119,9 +119,10 @@ class DeviceGELL:
         row gather runs ~4-5x faster when its source is < ~64MB, so for
         column-local (banded) matrices each row-chunk gathers from a
         dynamic slice of X instead of the full array)."""
-        SPAN_CAP = 24576                    # rows: 48MB f32 window at n=512
+        SPAN_CAP = 30720                    # rows: 63MB f32 window at n=512
                                             # (gather fast path needs the
-                                            # source under ~64MB)
+                                            # source under ~64MB; the
+                                            # kernel re-checks at its n)
         m_pad, S = cols.shape
         self.win_plan = None
         empty = jnp.zeros((0,), jnp.int32)
@@ -256,7 +257,12 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
                m, mode, win_plan):
     k, n = x.shape
     m_pad, S = cols.shape
-    if win_plan is not None and mode in ("f32", "bf16"):
+    use_win = win_plan is not None and mode in ("f32", "bf16")
+    if use_win:
+        # the plan was sized for n=512; at wider n the window source may
+        # cross the ~64MB gather cliff — fall back to the direct path
+        use_win = win_plan[2] * n * 4 <= (1 << 26)
+    if use_win:
         nb, rbw, span = win_plan
         src = x if mode == "f32" else x.astype(jnp.bfloat16)
 
