@@ -10,7 +10,8 @@ for line in \
   "311295 311295 5 1.6667 normal random 0.05 0 0.05 0.5 14" \
   "393215 393215 5 1.6667 normal random 0.05 0 0.5 0.75 14" \
   "118387 118387 10 3.3333 normal random 0.3 1000 0.05 0.5 14" \
-  "202950 202950 10 3.3333 normal random 0.3 1000 1.9 0.25 14"; do
+  "202950 202950 10 3.3333 normal random 0.3 1000 1.9 0.25 14" \
+  "524287 524287 5 1.6667 normal random 0.05 0 0.95 0.05 14"; do
   python -m spgrid.bench --generate "$line" --kernels auto --num-cols 512 \
     --out "$OUT" || true
 done
