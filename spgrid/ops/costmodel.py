@@ -186,8 +186,12 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
 
 # Default candidate set for cost-based auto dispatch (f32-exact kernels
 # only: CV modes trade accuracy and are opted into explicitly).
+# wcoo_bands is deliberately NOT an auto candidate: its flat ~28ns/nnz
+# estimate proved unreliable at wide bands (measured 112ns/nnz on a
+# 393k-row bw-19.7k matrix where gell was 3.7x better) — it stays an
+# explicit format until a fill-aware model earns it back
 AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
-                   "coo", "wcoo_bands")
+                   "coo")
 
 
 def fit_constants(df, *, min_rows: int = 3) -> dict:
