@@ -39,6 +39,27 @@ def make_x(k: int, n: int, dtype: str, seed: int) -> np.ndarray:
     return x.astype(dtype)
 
 
+def _cached_features(csr: CSRMatrix):
+    """Structural features, computed once per matrix object (sweeps call
+    run_spmm once per kernel on the same matrix)."""
+    f = getattr(csr, "_spgrid_feats", None)
+    if f is None:
+        f = matrix_features(csr)
+        csr._spgrid_feats = f
+    return f
+
+
+def _cached_value_features(csr: CSRMatrix):
+    vf = getattr(csr, "_spgrid_value_feats", None)
+    if vf is None:
+        from spgrid.features.values import value_features
+        vsample = (csr.values if csr.nnz <= 1 << 20
+                   else csr.values[:: csr.nnz // (1 << 20) + 1])
+        vf = value_features(np.asarray(vsample))
+        csr._spgrid_value_feats = vf
+    return vf
+
+
 KERNELS = {
     # kernel name -> format name in ops.dispatch
     "csr_xla_coo": "coo",          # segment-sum baseline (naive CSR analogue)
@@ -92,7 +113,7 @@ def run_spmm(
             if kernel == "autotune":
                 fmt = dispatch.autotune_spmm(csr, xd).best
             else:
-                feats = matrix_features(csr)
+                feats = _cached_features(csr)
                 fmt = dispatch.select_format(feats, n)
             kernel_run = fmt
         else:
@@ -139,7 +160,7 @@ def run_spmm(
                 / timed.time_per_iter_s, 9.99),
         )
 
-        feats = matrix_features(csr)
+        feats = _cached_features(csr)
         row.density = feats.density
         row.avg_nnz_per_row = feats.avg_nnz_per_row
         row.std_nnz_per_row = feats.std_nnz_per_row
@@ -150,11 +171,10 @@ def run_spmm(
         row.avg_num_neighbours = feats.avg_num_neighbours
         row.cross_row_similarity = feats.cross_row_similarity
         # value features (ref csr_util_gen.c:1458-2004): compressibility
-        # proxies that drive CV-mode selection; cheap (1-D kmeans on a
-        # value sample) next to the measurement itself
-        from spgrid.features.values import value_features
-        vsample = csr.values if csr.nnz <= 1 << 20 else             csr.values[:: csr.nnz // (1 << 20) + 1]
-        vf = value_features(np.asarray(vsample))
+        # proxies that drive CV-mode selection; computed once per matrix
+        # (the 1-D kmeans is host work — on this 1-CPU box a per-row
+        # recompute inflates sweeps that run many kernels per matrix)
+        vf = _cached_value_features(csr)
         row.val_unique_fraction = vf.unique_fraction
         row.val_exp_unique = float(vf.exp_unique)
         row.val_kmeans_rel_error_8 = vf.kmeans_rel_error_8

@@ -109,14 +109,19 @@ def quantization_error(csr: CSRMatrix, mode: str = "int8") -> float:
     return float(np.max(np.abs(deq - ref) / denom)) if len(ref) else 0.0
 
 
-def select_cv_mode(values, tolerance: float):
+def select_cv_mode(values, tolerance: float, csr: CSRMatrix | None = None):
     """Pick the cheapest value-compression mode within `tolerance`.
 
     The reference extracts value features precisely to decide when value
     compression is safe (csr_util_gen.c:1458-2004 + lib/bitstream.c); this
-    is that decision as a function: int8 row-scaled quantization when the
-    8-cluster kmeans residual (a lower bound proxy for 256-level error)
-    fits, bf16 when ~3 significant digits fit, else None (stay f32).
+    is that decision as a function.  The value features (unique count,
+    kmeans residual) only *nominate* int8 — they are proxies, and neither
+    bounds the error of a 255-level uniform grid (256 arbitrary uniques or
+    a wide-dynamic-range row can quantize with ~100% relative error).  The
+    nomination is verified against the ACTUAL quantization error: the
+    row-scaled `quantization_error` when the CSR is available, else a
+    conservative single-scale check on the value sample.  bf16 when ~3
+    significant digits fit, else None (stay f32).
     """
     from spgrid.features.values import value_features
     import numpy as np
@@ -124,11 +129,20 @@ def select_cv_mode(values, tolerance: float):
     if v.size == 0:
         return None
     vf = value_features(v)
-    # constant-ish value sets (few uniques / one exponent) quantize ~free
-    if vf.num_unique <= 256 and tolerance >= 1e-7:
-        return "int8"
-    if tolerance >= 1e-2 and vf.kmeans_rel_error_8 <= tolerance:
-        return "int8"
+    nominate_int8 = (vf.num_unique <= 256
+                     or (tolerance >= 1e-2
+                         and vf.kmeans_rel_error_8 <= tolerance))
+    if nominate_int8:
+        if csr is not None:
+            err = quantization_error(csr, "int8")
+        else:
+            absmax = float(np.max(np.abs(v)))
+            scale = absmax / 127.0 if absmax > 0 else 1.0
+            deq = np.clip(np.rint(v / scale), -127, 127) * scale
+            err = float(np.max(np.abs(deq - v)
+                               / np.maximum(np.abs(v), 1e-30)))
+        if err <= tolerance:
+            return "int8"
     if tolerance >= 4e-3:          # bf16: 8-bit mantissa ~ 0.4% worst-case
         return "bf16"
     return None

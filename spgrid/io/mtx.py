@@ -46,9 +46,8 @@ def read_mtx_coo(
             # dense array format (several SuiteSparse validation matrices
             # ship this way): values column-major, one per line
             m, n = (int(tok) for tok in line.split())
-            per = 2 if field == "complex" else 1
             body = np.loadtxt(f, dtype=np.float64, ndmin=2,
-                              max_rows=m * n * 0 + m * n)
+                              max_rows=m * n)
             vals = (np.hypot(body[:, 0], body[:, 1]) if field == "complex"
                     else body[:, 0] if body.ndim == 2 else body)
             if vals.size != m * n and symmetry == "general":
@@ -57,9 +56,13 @@ def read_mtx_coo(
             if symmetry == "general":
                 dense = vals.reshape(n, m).T
             else:
-                # lower triangle incl diagonal, column-major
+                # MM spec: symmetric/hermitian array files store the lower
+                # triangle including the diagonal; skew-symmetric files
+                # store the STRICTLY lower triangle (diagonal omitted —
+                # it is identically zero)
                 dense = np.zeros((m, n))
-                tri = np.tril_indices(m)
+                diag_off = -1 if symmetry == "skew-symmetric" else 0
+                tri = np.tril_indices(m, diag_off)
                 order = np.lexsort((tri[0], tri[1]))   # column-major walk
                 dense[tri[0][order], tri[1][order]] = vals
                 sign = -1.0 if symmetry == "skew-symmetric" else 1.0

@@ -124,8 +124,12 @@ def _merge_spmm(cols, vals, local_rows, out_rows, x, *, m):
         a, g.reshape(B, T, n).astype(acc),
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=acc)                     # (B, 128, n)
+    # out_rows is NOT globally sorted: consecutive blocks usually start
+    # fewer than ROWS_CAP rows apart, so their 128-row strips interleave
+    # (e.g. ...,100,101,  10,11,...).  The sorted hint here is undefined
+    # behavior on the TPU sorted-scatter path — keep it off.
     y = jax.ops.segment_sum(parts.reshape(B * ROWS_CAP, n), out_rows,
-                            num_segments=m + 1, indices_are_sorted=True)
+                            num_segments=m + 1, indices_are_sorted=False)
     return y[:m].astype(x.dtype)
 
 

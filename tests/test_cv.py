@@ -87,5 +87,12 @@ def test_select_cv_mode():
     assert select_cv_mode(cont, 1e-6) is None        # tight: stay f32
     assert select_cv_mode(cont, 5e-3) == "bf16"      # loose-ish: bf16
     few = rng.choice(np.linspace(-1, 1, 17), 5000).astype(np.float32)
-    assert select_cv_mode(few, 1e-6) == "int8"       # few uniques: int8
+    # few uniques nominate int8, but 255-level uniform error is ~0.8% on
+    # this grid: verified selection takes int8 only when tolerance allows
+    assert select_cv_mode(few, 1e-2) == "int8"
+    assert select_cv_mode(few, 1e-6) is None
+    # wide dynamic range defeats absmax int8 even at 2 uniques (1e-3
+    # quantizes to 0 = 100% error); bf16 still represents both fine
+    wide = np.tile(np.array([1.0, 1e-3], np.float32), 100)
+    assert select_cv_mode(wide, 1e-2) == "bf16"
     assert select_cv_mode(np.zeros(0), 1.0) is None
