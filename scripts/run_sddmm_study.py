@@ -40,6 +40,18 @@ def _weight(seed):
 
 
 def main():
+    # inherence analysis first (host-only, fast): does any blocking choice
+    # dodge the high-sparsity cost, or is every 128^2 block occupied?
+    from spgrid.ops.sddmm_plan import occupancy_report
+    import csv
+    occ_rows = occupancy_report(LENGTH)
+    occ_path = os.path.join(RES, "sddmm_occupancy.csv")
+    with open(occ_path, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(occ_rows[0].keys()))
+        w.writeheader()
+        w.writerows(occ_rows)
+    print(f"occupancy analysis -> {occ_path}", flush=True)
+
     writer = CSVWriter(OUT)
     done = writer.done_keys()
     for mtype in ("band_and_random", "band_and_decay"):
@@ -49,8 +61,13 @@ def main():
                 if (name, "sddmm_pallas", "512") in done:
                     print("skip", name, flush=True)
                     continue
+                # band_size=None -> the reference band table
+                # (sddmm_mask.h:28-34: 0.95->16, 0.98->8); the old fixed
+                # 64 band swamped the 0.95/0.98 targets and collapsed both
+                # mask types to the same pure band
                 cfg = BenchConfig(num_cols=512, sparsity=sp,
                                   sparse_attention_type=mtype,
+                                  band_size=None,
                                   precision=prec, min_time_s=0.3)
                 try:
                     row = run_sddmm(LENGTH, config=cfg)
@@ -75,7 +92,8 @@ def main():
             if (name, "pipeline_pallas", "512") in pdone:
                 continue
             cfg = BenchConfig(num_cols=512, sparsity=sp,
-                              sparse_attention_type=mtype, min_time_s=0.3)
+                              sparse_attention_type=mtype,
+                              band_size=None, min_time_s=0.3)
             try:
                 row = run_pipeline(_weight(1), _weight(2), _weight(3),
                                    config=cfg)

@@ -73,11 +73,26 @@ def main(argv=None) -> int:
                     help="apply a row/col reordering pass before the "
                          "kernel (reordering-effect study, ref "
                          "epyc5_shuffling / mat_reorder)")
+    ap.add_argument("--platform", default=None,
+                    help="force the jax backend (e.g. cpu). On this box "
+                         "the TPU plugin's sitecustomize re-exports "
+                         "JAX_PLATFORMS, so the env var alone does not "
+                         "stick; jax.config.update does.")
     args = ap.parse_args(argv)
 
     if args.labels:
         print(BenchRow.header())
         return 0
+
+    import os
+    platform = args.platform or os.environ.get("SPGRID_PLATFORM")
+    if platform is None and os.environ.get("JAX_PLATFORMS") == "cpu":
+        # a caller that exported JAX_PLATFORMS=cpu meant it: make it stick
+        # against the plugin sitecustomize (tests/conftest.py pattern)
+        platform = "cpu"
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
     overrides = {}
     if args.dtype:

@@ -82,6 +82,7 @@ KERNELS = {
     "gell16": "gell16",            # gather-ELL, split16 X (~2^-17 on X)
     "cv_gell": "cv_gell",          # gather-ELL, bf16 X (CV-on-X mode)
     "merge": "merge",              # merge-path equal-nnz blocks (A.3)
+    "scoo": "scoo",                # column-windowed COO (scattered hypersparse)
     "sell": "sell",                # SELL-C-sigma (sigma-sorted sliced ELL)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
@@ -129,12 +130,23 @@ def run_spmm(
             bytes_accessed = float((csr.m * csr.k + (csr.k + csr.m) * n) * vb)
 
         # Differenced chained-loop timing: loop fused in jit, full-output
-        # feedback, RTT cancelled (see core.timing docstring).
+        # feedback, RTT cancelled (see core.timing docstring).  The cost
+        # model's estimate seeds the loop-length search so most rows need a
+        # single probe length (each extra length costs a full warm+timed
+        # pair on this high-RTT platform).
+        try:
+            from spgrid.ops.costmodel import estimate_spmm_time
+            hint = estimate_spmm_time(_cached_features(csr), fmt, n)
+            if not math.isfinite(hint):
+                hint = None
+        except Exception:  # noqa: BLE001
+            hint = None
         timed = time_kernel_chained(
             fn, xd, operands=a,
             min_time_s=config.min_time_s,
             flops=flops,
             bytes_accessed=bytes_accessed,
+            per_iter_hint=hint,
         )
 
         row = BenchRow(
@@ -364,11 +376,15 @@ def run_sddmm(
         vb = dt.itemsize
         bytes_accessed = float(mask.nnz * (vb + 4) + (mask.m + mask.k) * n * vb)
         if use_pallas:
-            # full-MXU-height mask blocks: bm=8 gives ~15x more grid steps and
-            # lands on the ~300ns/step floor (measured 4.3ms vs 0.4ms at 4096)
-            dev = DeviceBSR.from_csr(mask, bm=128, bk=128)
+            # occupancy-driven blocking (ops/sddmm_plan.py): bm=8 measured
+            # 15x worse (grid-step floor), so candidates stay MXU-height;
+            # the planner counts occupied blocks exactly and picks the
+            # cheapest (bm, bk) under the measured v5e per-block model
+            from spgrid.ops.sddmm_plan import choose_sddmm_blocks
+            plan = choose_sddmm_blocks(mask, n)
+            dev = DeviceBSR.from_csr(mask, bm=plan.bm, bk=plan.bk)
             fn = lambda ops, q: bsr_sddmm(ops[0], q, ops[1])      # noqa: E731
-            fmt = "bsr_pallas"
+            fmt = f"bsr_pallas_{plan.bm}x{plan.bk}"
         else:
             dev = DeviceCOO.from_csr(mask)
             fn = lambda ops, q: sddmm_coo(ops[0], q, ops[1])      # noqa: E731

@@ -73,21 +73,37 @@ def _feedback(y, x0):
 
 
 def _chained_runner(kernel_of_x: Callable, x: jax.Array, iters: int,
-                    operands=None):
+                    operands=None, many=None):
     # ``operands`` must carry any device arrays the kernel uses (the sparse
     # operand): a closure would bake them into the HLO as constants, which
     # bloats compile payloads enormously (observed: 70MB HLO -> remote
     # compile rejects).  With operands given, kernel is called as
     # kernel(operands, x).
+    if many is None:
+        many = _chained_many(kernel_of_x)
+    it = jnp.asarray(iters, jnp.int32)
+    return lambda x0: many(x0, it, operands)
+
+
+def _chained_many(kernel_of_x: Callable):
+    """One jit covering EVERY loop length: the trip count is a device
+    scalar, so the fori_loop lowers to a single compiled while loop.
+
+    This matters enormously for sweep throughput on this platform: remote
+    compiles cost 20-40s each, and the old per-length jits meant 3-4
+    compiles per (matrix, kernel) row — the dominant cost of every study.
+    A static-count fori_loop lowers to the same XLA while loop anyway (the
+    body is one kernel call; there is no cross-iteration fusion to lose).
+    """
     @jax.jit
-    def many(x0, operands):
+    def many(x0, iters, operands):
         def body(i, xc):
             y = (kernel_of_x(xc) if operands is None
                  else kernel_of_x(operands, xc))
             return _feedback(y, x0)
         return jax.lax.fori_loop(0, iters, body, x0)
 
-    return lambda x0: many(x0, operands)
+    return many
 
 
 def time_kernel_chained(
@@ -100,13 +116,18 @@ def time_kernel_chained(
     flops: Optional[float] = None,
     bytes_accessed: Optional[float] = None,
     repeats: int = 3,
+    per_iter_hint: Optional[float] = None,
 ) -> TimedResult:
     """Differenced chained-loop timing (the default protocol).
 
-    Measures t(I1) and t(I2) with the loop inside one jit; per-iteration
-    time = (t(I2)-t(I1))/(I2-I1), cancelling RTT and dispatch overhead."""
+    Measures t(I1) and t(I2) with the loop inside ONE jit (dynamic trip
+    count); per-iteration time = (t(I2)-t(I1))/(I2-I1), cancelling RTT and
+    dispatch overhead.  ``per_iter_hint`` (e.g. the dispatch cost model's
+    estimate) seeds the loop-length escalation, usually collapsing it to a
+    single probe."""
+    many = _chained_many(kernel_of_x)
     i1 = base_iters
-    run1 = _chained_runner(kernel_of_x, x, i1, operands)
+    run1 = _chained_runner(kernel_of_x, x, i1, operands, many=many)
     _sync_fetch(run1(x))                       # compile + warm
     t0 = time.perf_counter()
     _sync_fetch(run1(x))
@@ -117,18 +138,21 @@ def time_kernel_chained(
     # estimate from it overshoots by orders of magnitude and would make the
     # "long" loop a few ms of pure jitter; escalate I2 until t2 >= min_time_s.
     per_est = max(t1 / i1 / 4, 1e-8)
+    if per_iter_hint is not None and per_iter_hint > 0:
+        per_est = max(min(per_iter_hint, per_est * 64), per_est / 64,
+                      1e-8)
     i2 = 0
     t2 = 0.0
     esc_iters = 0          # executions spent escalating (2x i2 per round:
-    esc_time = 0.0         # compile-warm + timed), so the row's iters/total
+    esc_time = 0.0         # warm + timed), so the row's iters/total
     for _ in range(8):     # reflect actual measurement cost (ADVICE r1)
         i2_new = i1 + max(i1, min(int(min_time_s / per_est) + 1, 1 << 20))
         if i2_new <= i2:
             break
         i2 = i2_new
-        run2 = _chained_runner(kernel_of_x, x, i2, operands)
+        run2 = _chained_runner(kernel_of_x, x, i2, operands, many=many)
         tw0 = time.perf_counter()
-        _sync_fetch(run2(x))                   # compile + warm
+        _sync_fetch(run2(x))                   # warm (same jit, new length)
         t0 = time.perf_counter()
         _sync_fetch(run2(x))
         t2 = time.perf_counter() - t0

@@ -33,11 +33,12 @@ from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
 from spgrid.ops.gell import DeviceGELL, gell_spmm
 from spgrid.ops.merge import DeviceMerge, merge_spmm
+from spgrid.ops.scoo import DeviceSCOO, scoo_spmm
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
            "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv",
-           "gell", "gell16", "cv_gell", "merge")
+           "gell", "gell16", "cv_gell", "merge", "scoo")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -114,6 +115,10 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceGELL.from_csr(csr, mode="bf16")
     if fmt == "merge":
         return DeviceMerge.from_csr(csr)
+    if fmt == "scoo":
+        # column-windowed COO: every gather source stays under the ~64MB
+        # rate cliff even when the structure is scattered (ops/scoo.py)
+        return DeviceSCOO.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -140,6 +145,7 @@ def spmm_fn(fmt: str) -> Callable:
         "gell16": gell_spmm,
         "cv_gell": gell_spmm,
         "merge": merge_spmm,
+        "scoo": scoo_spmm,
     }[fmt]
 
 
