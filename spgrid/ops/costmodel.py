@@ -122,8 +122,21 @@ def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
         bpe, planes = 4.0, 1
     convert = 0.0 if mode == "f32" else f.n * n * (4.0 + bpe * planes) \
         / C.eff_bw
-    gather = planes * rows_g / _gather_rate(f, n, bpe)
-    combine = (planes * rows_g * n * bpe + f.m * n * 4.0) / C.combine_bw
+    # gather throughput is ROWS/S bounded: split16 concatenates [hi|lo]
+    # into one 2n-wide bf16 source (ONE take); only split24 pays a second
+    # take for its lo plane
+    takes = 2.0 if mode == "split24" else 1.0
+    gather = takes * rows_g / _gather_rate(f, n, bpe)
+    if mode == "f32":
+        combine = (rows_g * n * 4.0 + f.m * n * 4.0) / C.combine_bw
+    else:
+        # MXU block-diagonal combine (windowed r3 / chunked r2 paths):
+        # the gathered intermediate is written once and streamed back
+        # into the matmul at full bandwidth; flops are ~free on the MXU
+        nv = 3 if mode == "split24" else 2
+        g_bytes = planes * rows_g * n * bpe * 2.0 + f.m * n * 4.0
+        mxu = 16.0 * rows_g * n * planes * nv / C.mxu_bf16
+        combine = g_bytes / C.eff_bw + mxu
     return convert + gather + combine
 
 

@@ -257,21 +257,47 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
                m, mode, win_plan):
     k, n = x.shape
     m_pad, S = cols.shape
-    use_win = win_plan is not None and mode in ("f32", "bf16")
+    use_win = win_plan is not None and mode in ("f32", "bf16", "split16")
     if use_win:
-        # the plan was sized for n=512; at wider n the window source may
-        # cross the ~64MB gather cliff — fall back to the direct path
-        use_win = win_plan[2] * n * 4 <= (1 << 26)
+        # the plan was sized for n=512 f32; re-check the window source
+        # bytes at this n/mode against the ~64MB gather cliff
+        row_bytes = {"f32": 4 * n, "bf16": 2 * n, "split16": 4 * n}[mode]
+        use_win = win_plan[2] * row_bytes <= (1 << 26)
     if use_win:
         nb, rbw, span = win_plan
-        src = x if mode == "f32" else x.astype(jnp.bfloat16)
+        if mode == "f32":
+            src = x
+        elif mode == "bf16":
+            src = x.astype(jnp.bfloat16)
+        else:
+            # split16: one (k, 2n) [hi|lo] bf16 source — the SAME source
+            # bytes (and 2n stays a power of 2 at n=512, keeping the fast
+            # gather path) but the combine moves to the MXU: the VPU
+            # multi-stream combine measured ~280 GB/s while the
+            # block-diagonal bf16 matmul streams the gathered rows at
+            # full rate with negligible flop cost
+            hi, lo = _split_planes(x, 2)
+            src = jnp.concatenate([hi, lo], axis=1)
+        w = src.shape[1]
+        use_mxu = mode in ("bf16", "split16")
 
         def body(_, blk):
             cl, vl, base = blk
-            xw = jax.lax.dynamic_slice(src, (base, 0), (span, n))
+            xw = jax.lax.dynamic_slice(src, (base, 0), (span, w))
             g = jnp.take(xw, cl.reshape(-1), axis=0)
-            y = jnp.sum(vl[:, :, None]
-                        * g.astype(jnp.float32).reshape(rbw, S, n), axis=1)
+            if use_mxu:
+                # values split into 2 bf16 planes (8 mantissa bits each):
+                # all four v x cross terms are kept, so the error floor is
+                # the hi/lo X representation (~2^-17 rel), inside the f32
+                # oracle gate (1e-4) for split16 and the bf16 gate for bf16
+                a_planes = [_blockdiag_A(vp) for vp in _split_planes(vl, 2)]
+                bmat = g.reshape(rbw // 8, 8 * S, w)
+                o = _mxu_combine(a_planes, bmat, rbw // 8, S, w)
+                y = (o[:, :n] + o[:, n:]) if w > n else o
+            else:
+                y = jnp.sum(vl[:, :, None]
+                            * g.astype(jnp.float32).reshape(rbw, S, n),
+                            axis=1)
             return 0, y
 
         _, ys = jax.lax.scan(body, 0, (wcols, wvals, wbases))

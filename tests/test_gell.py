@@ -127,6 +127,14 @@ def test_gell_windowed_banded():
     mb = error_metrics(_gold(csr, x), yb, epsilon=1e-4)
     assert mb.mape < 5e-2
 
+    # r3: windowed split16 — one [hi|lo] wide gather + MXU block-diagonal
+    # combine; error floor is the X hi/lo representation (~2^-17 rel)
+    a16 = DeviceGELL.from_csr(csr, mode="split16")
+    assert a16.win_plan is not None
+    y16 = np.asarray(gell_spmm(a16, jnp.asarray(x)), np.float64)
+    m16 = error_metrics(_gold(csr, x), y16, epsilon=1e-4)
+    assert m16.mape < 5e-4, m16.mape
+
 
 def test_gell_windowed_skips_scattered():
     csr = artificial_matrix_generation(40000, 40000, 5, 1.7, "normal",
