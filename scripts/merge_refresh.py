@@ -7,7 +7,9 @@ import sys
 RES = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
                    "tpu-v5e")
 MAIN = os.path.join(RES, "medium_spread_r2.csv")
-REF = os.path.join(RES, "medium_spread_r2_refresh.csv")
+# refresh source: default r2 file, overridable (r3 refresh passes its own)
+REF = sys.argv[1] if len(sys.argv) > 1 else \
+    os.path.join(RES, "medium_spread_r2_refresh.csv")
 
 
 def main():

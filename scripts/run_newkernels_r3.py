@@ -1,0 +1,105 @@
+"""TPU measurement grid for the round-2/3 kernels without v5e rows.
+
+VERDICT r2 items 2/3/5: `merge`, `sell`, and `scoo` exist only as CPU
+f64-correctness rows; `gell16`'s windowed MXU combine (round 3) has no
+measurement.  This grid gives each a head-to-head on the regimes it was
+built for, so the cost model can admit the winners to AUTO_CANDIDATES
+with fitted constants (the wcoo_bands lesson: never admit unmeasured).
+
+Regimes (one parameter line each, spread-sample twins where possible):
+- banded windowable hypersparse  -> gell windowed vs gell16 MXU combine
+  vs sell vs merge (VERDICT item 3: the 229k-row class)
+- scattered hypersparse m>=300k  -> scoo's target class (item 2; the
+  reference covers it with MKL-IE at 105-328 GFLOPS, mkl_ie_f.csv:2-3)
+- wide-band (>30k rows) hypersparse -> unwindowable: scoo vs wcoo_bands
+- skew grid 0..1e5 (mawi-class, ref config.sh:329 skew 8e6) -> merge's
+  claimed skew-proof role vs gell's COO tail (item 5)
+
+Output: benchmark_results/tpu-v5e/newkernels_r3.csv (resume; exit 2 on
+device poisoning for the retry wrapper).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spgrid.bench.harness import run_spmm, BenchConfig  # noqa: E402
+from spgrid.bench.schema import CSVWriter  # noqa: E402
+from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
+                   "tpu-v5e", "newkernels_r3.csv")
+
+# (tag, gen kwargs, kernels)
+G = dict(distribution="normal", seed=14)
+JOBS = [
+    # banded windowable (spread twin of the art_229375 row)
+    ("band_229k", dict(m=229375, avg=5, std=1.6667, placement="random",
+                       bw=0.05, skew=0, neigh=0.05, crs=0.95),
+     ["gell", "gell16", "cv_gell", "sell", "merge"]),
+    # banded mid-size (windowed plan, smaller gen cost) for the same A/B
+    ("band_98k", dict(m=98304, avg=8, std=2.6667, placement="random",
+                      bw=0.05, skew=0, neigh=0.05, crs=0.5),
+     ["gell", "gell16", "cv_gell", "sell", "merge", "wcoo_bands"]),
+    # scattered hypersparse — scoo's target (art_393215 twin: 9-34 GF in r2)
+    ("scat_393k", dict(m=393215, avg=5, std=1.6667, placement="random",
+                       bw=0.5, skew=0, neigh=0.5, crs=0.75),
+     ["gell", "gell16", "scoo", "sell"]),
+    ("scat_524k", dict(m=524287, avg=5, std=1.6667, placement="random",
+                       bw=0.95, skew=0, neigh=0.95, crs=0.05),
+     ["gell", "gell16", "scoo"]),
+    # wide band: unwindowable at n=512 (band ~60k rows of 200k)
+    ("wideband_196k", dict(m=196608, avg=6, std=2, placement="diagonal",
+                           bw=0.3, skew=0, neigh=0.3, crs=0.5),
+     ["gell", "gell16", "scoo", "wcoo_bands"]),
+    # skew grid, scattered (mawi-class tail behavior)
+    ("skew10_131k", dict(m=131072, avg=6, std=2, placement="random",
+                         bw=0.9, skew=10, neigh=0.9, crs=0.3),
+     ["gell", "merge", "scoo"]),
+    ("skew1k_131k", dict(m=131072, avg=6, std=2, placement="random",
+                         bw=0.9, skew=1000, neigh=0.9, crs=0.3),
+     ["gell", "merge", "scoo"]),
+    ("skew100k_131k", dict(m=131072, avg=6, std=2, placement="random",
+                           bw=0.9, skew=100000, neigh=0.9, crs=0.3),
+     ["gell", "merge", "scoo"]),
+]
+
+
+def main():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    writer = CSVWriter(OUT)
+    done = writer.done_keys()
+    cfg = BenchConfig(num_cols=512, min_time_s=0.25)
+    for tag, p, kernels in JOBS:
+        name = f"r3_{tag}"
+        todo = [kk for kk in kernels if (name, kk, "512") not in done]
+        if not todo:
+            print(f"skip (done): {name}", flush=True)
+            continue
+        print(f"=== {name}: {p} -> {todo}", flush=True)
+        try:
+            csr = artificial_matrix_generation(
+                p["m"], p["m"], p["avg"], p["std"], G["distribution"],
+                seed=G["seed"], placement=p["placement"], bw=p["bw"],
+                skew=p["skew"], avg_num_neighbours=p["neigh"],
+                cross_row_similarity=p["crs"], name=name)
+        except Exception as e:  # noqa: BLE001
+            print(f"  gen FAILED: {type(e).__name__}: {e}", flush=True)
+            continue
+        for kk in todo:
+            try:
+                row = run_spmm(csr, kernel=kk, config=cfg)
+                writer.write(row)
+                print(f"  {kk}: {row.gflops:.1f} GF "
+                      f"passed={row.errors_passed}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {kk} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,12 @@ def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
     takes = 2.0 if mode == "split24" else 1.0
     gather = takes * rows_g / _gather_rate(f, n, bpe)
     if mode == "f32":
-        combine = (rows_g * n * 4.0 + f.m * n * 4.0) / C.combine_bw
+        # windowed f32 now combines on the MXU too (WIN_F32_COMBINE,
+        # 6-pass HIGHEST): the gathered intermediate reads back at
+        # streaming rate; the direct (small-k) path keeps the VPU combine
+        # but is gather-dominated there
+        combine = (rows_g * n * 4.0 + f.m * n * 4.0) / C.eff_bw \
+            + 6.0 * 16.0 * rows_g * n / C.mxu_bf16
     else:
         # MXU block-diagonal combine (windowed r3 / chunked r2 paths):
         # the gathered intermediate is written once and streamed back

@@ -241,20 +241,28 @@ def _blockdiag_A(v: jax.Array) -> jax.Array:
     return a.reshape(rb // 8, 8, 8 * S)
 
 
-def _mxu_combine(a_planes, b, nb8, S, n_out):
+def _mxu_combine(a_planes, b, nb8, S, n_out, precision=None):
     """sum_p einsum('brc,bcn->brn', A_p, B) -> (rows, n_out) f32."""
     out = None
     for ap in a_planes:
         o = jax.lax.dot_general(
             ap, b, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
         out = o if out is None else out + o
     return out.reshape(nb8 * 8, n_out)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "mode", "win_plan"))
+# windowed-f32 combine engine: "mxu" (f32 block-diagonal dot at HIGHEST,
+# reads the gathered intermediate at streaming rate) or "vpu" (broadcast
+# mul + slot-axis reduce, the round-2 path).  Module-level so the TPU A/B
+# (scripts/exp_gell_bench.py) can flip it; a static jit arg either way.
+WIN_F32_COMBINE = "mxu"
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "mode", "win_plan", "f32_combine"))
 def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
-               m, mode, win_plan):
+               m, mode, win_plan, f32_combine="mxu"):
     k, n = x.shape
     m_pad, S = cols.shape
     use_win = win_plan is not None and mode in ("f32", "bf16", "split16")
@@ -279,13 +287,12 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
             hi, lo = _split_planes(x, 2)
             src = jnp.concatenate([hi, lo], axis=1)
         w = src.shape[1]
-        use_mxu = mode in ("bf16", "split16")
 
         def body(_, blk):
             cl, vl, base = blk
             xw = jax.lax.dynamic_slice(src, (base, 0), (span, w))
             g = jnp.take(xw, cl.reshape(-1), axis=0)
-            if use_mxu:
+            if mode in ("bf16", "split16"):
                 # values split into 2 bf16 planes (8 mantissa bits each):
                 # all four v x cross terms are kept, so the error floor is
                 # the hi/lo X representation (~2^-17 rel), inside the f32
@@ -294,6 +301,17 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
                 bmat = g.reshape(rbw // 8, 8 * S, w)
                 o = _mxu_combine(a_planes, bmat, rbw // 8, S, w)
                 y = (o[:, :n] + o[:, n:]) if w > n else o
+            elif f32_combine == "mxu":
+                # f32-exact MXU combine: one f32 block-diagonal matmul at
+                # HIGHEST (6-pass) precision.  The gathered intermediate
+                # is materialized by the take either way; the matmul
+                # streams it back at full HBM rate where the VPU
+                # mul+reduce pass measured ~280 GB/s.  Flops are
+                # negligible (2*8*n per slot-row even at 6 passes).
+                a = _blockdiag_A(vl)
+                bmat = g.reshape(rbw // 8, 8 * S, n)
+                y = _mxu_combine([a], bmat, rbw // 8, S, n,
+                                 precision=jax.lax.Precision.HIGHEST)
             else:
                 y = jnp.sum(vl[:, :, None]
                             * g.astype(jnp.float32).reshape(rbw, S, n),
@@ -386,5 +404,6 @@ def gell_spmm(a: DeviceGELL, x: jax.Array) -> jax.Array:
     x2 = x[:, None] if squeeze else x
     y = _gell_spmm(a.cols, a.values, a.tail_rows, a.tail_cols, a.tail_vals,
                    a.win_cols, a.win_vals, a.win_bases,
-                   x2, m=a.shape[0], mode=a.mode, win_plan=a.win_plan)
+                   x2, m=a.shape[0], mode=a.mode, win_plan=a.win_plan,
+                   f32_combine=WIN_F32_COMBINE)
     return y[:, 0] if squeeze else y
