@@ -59,6 +59,17 @@ def main(argv):
         kernels = [("gell:" + md, lambda md=md: (
             DeviceGELL.from_csr(csr, mode=md), gell_spmm))
             for md in ("split24", "split16", "bf16", "f32")]
+
+        # r3 A/B: windowed-f32 combine engine (MXU 6-pass vs r2 VPU)
+        def _mk_f32(engine):
+            import spgrid.ops.gell as gell_mod
+
+            def fn(a, xx):
+                gell_mod.WIN_F32_COMBINE = engine
+                return gell_spmm(a, xx)
+            return DeviceGELL.from_csr(csr, mode="f32"), fn
+        kernels += [(f"gell:f32-{e}", lambda e=e: _mk_f32(e))
+                    for e in ("vpu", "mxu")]
         kernels += [(f, lambda f=f: (dispatch.build(csr, f),
                                      dispatch.spmm_fn(f)))
                     for f in ("wcoo_bands", "wcoo_pallas", "ell", "coo")]

@@ -135,6 +135,18 @@ def test_gell_windowed_banded():
     m16 = error_metrics(_gold(csr, x), y16, epsilon=1e-4)
     assert m16.mape < 5e-4, m16.mape
 
+    # r3: both windowed-f32 combine engines are f32-exact and agree
+    import spgrid.ops.gell as gell_mod
+    old = gell_mod.WIN_F32_COMBINE
+    try:
+        gell_mod.WIN_F32_COMBINE = "vpu"
+        yv = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
+        mv = error_metrics(_gold(csr, x), yv, epsilon=1e-4)
+        assert mv.mape < 5e-6, mv.mape
+        np.testing.assert_allclose(yv, y, rtol=1e-5, atol=1e-5)
+    finally:
+        gell_mod.WIN_F32_COMBINE = old
+
 
 def test_gell_windowed_skips_scattered():
     csr = artificial_matrix_generation(40000, 40000, 5, 1.7, "normal",
