@@ -59,6 +59,14 @@ def _col(path, kernel=None, col="gflops", key=None, where=None):
     return out
 
 
+# categorical slots 1/2 of the validated default palette (dataviz skill
+# reference instance): color follows the ENTITY — spgrid-f32 is always
+# blue, spgrid-bf16 always orange, reference systems always neutral gray
+C_F32 = "#2a78d6"
+C_BF16 = "#eb6834"
+C_REF = "#888888"
+
+
 def main():
     dlmc = max(v for _, v in _col("spmm_dlmc_twin.csv", kernel="dense"))
     pipe = max(v for _, v in _col("pipeline.csv"))
@@ -73,23 +81,50 @@ def main():
     hyper_med = float(np.median(spread)) if spread else float("nan")
     spmv_best = max(v for _, v in _col("spmv.csv"))
 
+    # r3 additions, each optional until its study CSV lands:
+    # dtype=bfloat16 leg (VERDICT r2 item 6)
+    bf16 = {}
+    if os.path.exists(os.path.join(RES, "bf16_leg.csv")):
+        for name, v in _col("bf16_leg.csv", key="matrix_name"):
+            bf16[name] = max(v, bf16.get(name, 0.0))
+    # validation twins: the direct MKL-IE head-to-head on feature-exact
+    # twins of scircuit / mac_econ (VERDICT r2 weak #1)
+    twins = {}
+    if os.path.exists(os.path.join(RES, "validation_twins.csv")):
+        for name, v in _col("validation_twins.csv", kernel="auto",
+                            key="matrix_name"):
+            twins[name] = max(v, twins.get(name, 0.0))
+
+    # (label, value, color) triples for the spgrid side
+    ours_dlmc = [("spgrid v5e (dense-MXU, f32)", dlmc, C_F32)]
+    if "bf16_dlmc_twin_512_0.5" in bf16:
+        ours_dlmc.append(("spgrid v5e (bf16)",
+                          bf16["bf16_dlmc_twin_512_0.5"], C_BF16))
+    ours_hyper = [("spgrid v5e median (auto)", hyper_med, C_F32),
+                  ("spgrid v5e best (auto)", hyper_best, C_F32)]
+    for mat in ("scircuit", "mac_econ_fwd500"):
+        if f"{mat}_twin" in twins:
+            ours_hyper.append((f"spgrid {mat} twin (auto)",
+                               twins[f"{mat}_twin"], C_F32))
+    for tag, lbl in (("band_98k", "banded"), ("scat_131k", "scattered")):
+        if f"bf16_{tag}" in bf16:
+            ours_hyper.append((f"spgrid {lbl} (bf16)", bf16[f"bf16_{tag}"],
+                               C_BF16))
     groups = [
-        ("SpMM DLMC 512$^2$\n(n=512, f32)", REF_SPMM,
-         [("spgrid v5e (dense-MXU)", dlmc)]),
+        ("SpMM DLMC 512$^2$\n(n=512)", REF_SPMM, ours_dlmc),
         ("SpMM synthetic medium\n(hypersparse, n=512)", REF_HYPER,
-         [("spgrid v5e median (auto)", hyper_med),
-          ("spgrid v5e best (auto)", hyper_best)]),
+         ours_hyper),
         ("Attention pipeline\n(n=512)", REF_PIPE,
-         [("spgrid v5e", pipe)]),
-        ("SDDMM stage", REF_SDDMM, [("spgrid v5e", sddmm)]),
+         [("spgrid v5e", pipe, C_F32)]),
+        ("SDDMM stage", REF_SDDMM, [("spgrid v5e", sddmm, C_F32)]),
     ]
 
     fig, axes = plt.subplots(1, 5, figsize=(20, 5.2))
     rows_out = []
     for ax, (title, ref, ours) in zip(axes, groups):
-        names = [n for n, _ in ref] + [n for n, _ in ours]
-        vals = [v for _, v in ref] + [v for _, v in ours]
-        colors = ["#888888"] * len(ref) + ["#d62728"] * len(ours)
+        names = [n for n, _ in ref] + [n for n, _, _ in ours]
+        vals = [v for _, v in ref] + [v for _, v, _ in ours]
+        colors = [C_REF] * len(ref) + [c for _, _, c in ours]
         ax.barh(range(len(vals)), vals, color=colors)
         ax.set_yticks(range(len(vals)))
         ax.set_yticklabels(names, fontsize=8)
@@ -100,13 +135,13 @@ def main():
             ax.text(v, i, f" {v:,.0f}", va="center", fontsize=8)
         for n, v in ref:
             rows_out.append((title.replace("\n", " "), n, v, "reference"))
-        for n, v in ours:
+        for n, v, _ in ours:
             rows_out.append((title.replace("\n", " "), n, v, "spgrid"))
 
     ax = axes[4]
     names = [n for n, _ in REF_SPMV_CEILINGS] + ["spgrid v5e best"]
     vals = [v for _, v in REF_SPMV_CEILINGS] + [spmv_best]
-    colors = ["#888888"] * len(REF_SPMV_CEILINGS) + ["#d62728"]
+    colors = [C_REF] * len(REF_SPMV_CEILINGS) + [C_F32]
     ax.barh(range(len(vals)), vals, color=colors)
     ax.set_yticks(range(len(vals)))
     ax.set_yticklabels(names, fontsize=8)
