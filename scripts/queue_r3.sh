@@ -34,6 +34,10 @@ retry(){ local n=$1; shift
 }
 
 log "=== new-kernel grid ===";     retry 6 python scripts/run_newkernels_r3.py
+log "=== gell f32 combine calibration ==="
+ENGINE=$(python scripts/calibrate_gell_combine.py 2>>/tmp/queue_r3.log | tail -1)
+case "$ENGINE" in vpu|mxu) export SPGRID_GELL_F32_COMBINE="$ENGINE";; esac
+log "windowed-f32 combine engine: ${SPGRID_GELL_F32_COMBINE:-mxu(default)}"
 log "=== validation twins ===";    retry 10 python scripts/run_validation_twins.py
 log "validation twins done"
 python scripts/analyze_twins.py || true

@@ -44,6 +44,7 @@ smaller planes dodge the cliff; split24 is f32-oracle-exact).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -256,7 +257,9 @@ def _mxu_combine(a_planes, b, nb8, S, n_out, precision=None):
 # reads the gathered intermediate at streaming rate) or "vpu" (broadcast
 # mul + slot-axis reduce, the round-2 path).  Module-level so the TPU A/B
 # (scripts/exp_gell_bench.py) can flip it; a static jit arg either way.
-WIN_F32_COMBINE = "mxu"
+# The env override lets the study queue apply the measured winner
+# (scripts/calibrate_gell_combine.py) without a code change mid-queue.
+WIN_F32_COMBINE = os.environ.get("SPGRID_GELL_F32_COMBINE", "mxu")
 
 
 @functools.partial(jax.jit,
