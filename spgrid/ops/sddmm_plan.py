@@ -65,6 +65,23 @@ def block_occupancy(mask: CSRMatrix, bm: int, bk: int):
     return occupied, occ.size
 
 
+def reachable_blocks(length: int, bm: int, bk: int, band_size: int) -> int:
+    """Blocks a causal band+fill mask can ever touch: the random/decay
+    fill is lower-triangular (col <= row) and the band is symmetric with
+    half-width ``band_size`` (gen/masks.py).  The bounding grid is the
+    wrong inherence denominator — a causal mask occupies at most ~55% of
+    it no matter how dense the fill is."""
+    mb, kb = -(-length // bm), -(-length // bk)
+    br = np.arange(mb)[:, None]
+    bc = np.arange(kb)[None, :]
+    causal = bc * bk <= br * bm + bm - 1
+    # band reaches above the diagonal: block is touched when its leftmost
+    # col is within band of the block's last row and vice versa
+    band = (bc * bk - (br * bm + bm - 1) <= band_size - 1) \
+        & (br * bm - (bc * bk + bk - 1) <= band_size - 1)
+    return int(np.count_nonzero(causal | band))
+
+
 def _est_time(occupied: int, bm: int, bk: int, n: int) -> float:
     """Per-plan time: each occupied block costs max(MXU matmul, operand
     DMA) + a grid step; d(=n) is tiled inside the kernel so VMEM fits."""
@@ -109,24 +126,35 @@ def occupancy_report(length: int = 4096, n: int = 512,
     0.98 -> 8, sddmm_mask.h:28-34); a fixed wide band would swamp the
     high-sparsity targets and degenerate both mask types to the same
     pure band."""
-    from spgrid.gen.masks import create_mask
+    from spgrid.gen.masks import create_mask, default_band_size
 
     rows = []
     for mt in mask_types:
         for sp in sparsities:
             mask = create_mask(mt, length, sp, band_size=None, seed=seed)
             plan = choose_sddmm_blocks(mask, n)
+            band = default_band_size(length, sp)
+            o128, _tot = block_occupancy(mask, 128, 128)
+            reach = reachable_blocks(length, 128, 128, band)
+            # inherence, correctly denominated: fraction of blocks the
+            # causal band+fill mask could EVER touch that this mask's nnz
+            # actually occupy.  ~1.0 at every 0.9-0.98 sparsity here: no
+            # blocking can skip work, so the sparse-accounted GFLOPS drop
+            # tracks nnz/occupied — it is inherent, for BOTH mask types
+            # (the reference's 1/d decay tail is heavy enough to visit
+            # every causal block at these nnz budgets)
+            occ_reach = o128 / max(reach, 1)
             rows.append({
                 "mask_type": mt, "sparsity": sp, "length": length,
                 "nnz": mask.nnz,
-                "occupancy_128": round(
-                    block_occupancy(mask, 128, 128)[0]
-                    / max(block_occupancy(mask, 128, 128)[1], 1), 4),
+                "occupancy_128": round(o128 / max(_tot, 1), 4),
+                "reachable_128": reach,
+                "occupancy_reachable": round(occ_reach, 4),
                 "bm": plan.bm, "bk": plan.bk,
                 "occupancy_plan": round(plan.occupancy, 4),
                 "nnz_per_occupied": round(plan.nnz_per_occupied, 1),
                 "est_speedup_vs_128": round(
                     plan.est_time_128 / plan.est_time_s, 3),
-                "inherent": plan.inherent,
+                "inherent": bool(occ_reach >= 0.95),
             })
     return rows

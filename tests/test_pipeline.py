@@ -77,3 +77,33 @@ def test_flop_model(problem):
     attn = SparseAttention.from_csr(wk, wq, wv, mask)
     expected = 2.0 * (wk.nnz + wq.nnz + wv.nnz + 2 * mask.nnz)
     assert attn.flops_per_col == expected
+
+
+def test_sddmm_occupancy_plan():
+    """r3: occupancy planner — reachable-block denominator + inherence."""
+    from spgrid.ops.sddmm_plan import (
+        block_occupancy, choose_sddmm_blocks, occupancy_report,
+        reachable_blocks,
+    )
+    from spgrid.gen.masks import create_mask
+
+    L = 512
+    # full causal reach at band 0: lower-triangle blocks of a 4x4 grid
+    # (bm=bk=128) = 10 of 16
+    assert reachable_blocks(L, 128, 128, 1) == 10
+
+    # band half-width 12 at (512, 0.9): its super-diagonal strip adds the
+    # 3 first-upper blocks to the 10 causal ones
+    mask = create_mask("band_and_random", L, 0.9, band_size=None, seed=3)
+    occ, tot = block_occupancy(mask, 128, 128)
+    assert tot == 16 and occ <= reachable_blocks(L, 128, 128, 12)
+    plan = choose_sddmm_blocks(mask, 512)
+    assert plan.occupied <= plan.total
+    assert plan.est_time_s <= plan.est_time_128 + 1e-12
+
+    rows = occupancy_report(L, sparsities=(0.9,),
+                            mask_types=("band_and_random",))
+    r = rows[0]
+    assert r["reachable_128"] == reachable_blocks(L, 128, 128, 12)
+    assert 0.0 < r["occupancy_reachable"] <= 1.0
+    assert r["inherent"] == (r["occupancy_reachable"] >= 0.95)
