@@ -12,7 +12,9 @@ log "=== gell f32 combine A/B (banded 262k) ==="
 timeout 2400 python scripts/exp_gell_bench.py 2 || true
 log "=== wrow SpMV ablation ==="
 timeout 2400 python scripts/exp_spmv_ablate.py || true
-log "=== figures ==="
+log "=== analysis + figures ==="
 python scripts/analyze_twins.py || true
+python scripts/analyze_medium_study.py || true
+python scripts/refit_costmodel.py || true
 python scripts/make_comparison_figure.py || true
 log "=== queue_r3b done ==="
