@@ -35,7 +35,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
                    "tpu-v5e", "medium_study.csv")
 
 MAX_ROWS = 262144
-TARGET = 320
+TARGET = 500            # r3: VERDICT asked >=500 stratified (was 320)
 PORTFOLIO = ("gell", "cv_gell", "merge", "sell", "ell_xla", "bsr_pallas",
              "panel_pallas", "dense")
 PORTFOLIO_EVERY = 4
