@@ -50,10 +50,11 @@ JOBS = [
     ("scat_524k", dict(m=524287, avg=5, std=1.6667, placement="random",
                        bw=0.95, skew=0, neigh=0.95, crs=0.05),
      ["gell", "gell16", "scoo"]),
-    # wide band: unwindowable at n=512 (band ~60k rows of 200k)
+    # wide band: unwindowable at n=512 for the exact modes (band ~60k
+    # rows of 200k); cv_gell's bf16 source windows it (r3 mode-aware cap)
     ("wideband_196k", dict(m=196608, avg=6, std=2, placement="diagonal",
                            bw=0.3, skew=0, neigh=0.3, crs=0.5),
-     ["gell", "gell16", "scoo", "wcoo_bands"]),
+     ["gell", "gell16", "cv_gell", "scoo", "wcoo_bands"]),
     # skew grid, scattered (mawi-class tail behavior)
     ("skew10_131k", dict(m=131072, avg=6, std=2, placement="random",
                          bw=0.9, skew=10, neigh=0.9, crs=0.3),

@@ -90,15 +90,18 @@ def _panel_time(f: MatrixFeatures, n: int) -> float:
         + occ_frac * panels * C.grid_step
 
 
-def _gell_windowable(f: MatrixFeatures) -> bool:
-    """Can row chunks gather from <=30720-row X windows?  Approximated
-    from the measured bandwidth stats (chunk col span ~ avg_bw + chunk)."""
-    return f.avg_bw + 2.0 * f.std_bw + 1024 <= 30720
+def _gell_windowable(f: MatrixFeatures, bpe: float = 4.0) -> bool:
+    """Can row chunks gather from <=63MB X windows?  Approximated from
+    the measured bandwidth stats (chunk col span ~ avg_bw + chunk).  The
+    cap is source BYTES at n=512 (gell._plan_windows), so bf16-source
+    modes (bpe=2) window bands twice as wide."""
+    span_cap = (63 << 20) / (bpe * 512.0)
+    return f.avg_bw + 2.0 * f.std_bw + 1024 <= span_cap
 
 
 def _gather_rate(f: MatrixFeatures, n: int, bytes_per_elem: float) -> float:
     src = f.n * n * bytes_per_elem
-    if src <= (1 << 26) or _gell_windowable(f):
+    if src <= (1 << 26) or _gell_windowable(f, bytes_per_elem):
         return C.gather_fast
     return C.gather_slow
 
@@ -124,9 +127,12 @@ def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
         / C.eff_bw
     # gather throughput is ROWS/S bounded: split16 concatenates [hi|lo]
     # into one 2n-wide bf16 source (ONE take); only split24 pays a second
-    # take for its lo plane
+    # take for its lo plane.  Source bytes/elem-of-n (the cliff/window
+    # quantity) is therefore 4 for f32/split modes and 2 only for bf16 —
+    # bf16 mode windows bands twice as wide.
     takes = 2.0 if mode == "split24" else 1.0
-    gather = takes * rows_g / _gather_rate(f, n, bpe)
+    src_bpe = 2.0 if mode == "bf16" else 4.0
+    gather = takes * rows_g / _gather_rate(f, n, src_bpe)
     if mode == "f32":
         # windowed f32 now combines on the MXU too (WIN_F32_COMBINE,
         # 6-pass HIGHEST): the gathered intermediate reads back at

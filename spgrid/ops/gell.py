@@ -119,8 +119,17 @@ class DeviceGELL:
         """Precompute the windowed-gather plan (see module doc: the XLA
         row gather runs ~4-5x faster when its source is < ~64MB, so for
         column-local (banded) matrices each row-chunk gathers from a
-        dynamic slice of X instead of the full array)."""
-        SPAN_CAP = 30720                    # rows: 63MB f32 window at n=512
+        dynamic slice of X instead of the full array).
+
+        The cap is SOURCE BYTES, so it is mode-dependent (r3): bf16 rows
+        are half the f32/split16 bytes, doubling the windowable band
+        width (~61k rows at n=512) — CV-on-X mode reaches bands the exact
+        modes cannot.  Planned at the documented n=512; the kernel
+        re-checks the bytes at its actual n and falls back if wider."""
+        row_bytes = {"f32": 4, "bf16": 2, "split16": 4,
+                     "split24": 4}.get(self.mode, 4) * 512
+        SPAN_CAP = ((63 << 20) // row_bytes) // 1024 * 1024
+                                            # rows: <=63MB window at n=512
                                             # (gather fast path needs the
                                             # source under ~64MB; the
                                             # kernel re-checks at its n)

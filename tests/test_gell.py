@@ -202,3 +202,19 @@ def test_gell_chunked_scan_path(monkeypatch):
     y = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
     m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
     assert m.mape < 5e-6, m.mape
+
+
+def test_gell_bf16_wideband_window():
+    """r3: the window cap is source BYTES — bf16-source mode windows
+    bands too wide for the exact modes (cap ~63k rows vs ~31k at n=512)."""
+    csr = artificial_matrix_generation(80000, 80000, 5, 1.7, "normal",
+                                       seed=11, placement="diagonal",
+                                       bw=0.5)
+    assert DeviceGELL.from_csr(csr, mode="f32").win_plan is None
+    ab = DeviceGELL.from_csr(csr, mode="bf16")
+    assert ab.win_plan is not None, "bf16 cap should window a ~40k band"
+    x = np.random.default_rng(4).standard_normal((80000, 16)) \
+        .astype(np.float32)
+    y = np.asarray(gell_spmm(ab, jnp.asarray(x)), np.float64)
+    m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
+    assert m.mape < 5e-2, m.mape
