@@ -55,6 +55,17 @@ JOBS = [
     ("wideband_196k", dict(m=196608, avg=6, std=2, placement="diagonal",
                            bw=0.3, skew=0, neigh=0.3, crs=0.5),
      ["gell", "gell16", "cv_gell", "scoo", "wcoo_bands"]),
+    # the reference regime's upper end (mkl_ie runs m = 65k-2M;
+    # spgrid's largest committed row was 524k): banded -> windowed gell,
+    # scattered -> scoo's worst case (X = 2GB, source 32x the cliff)
+    ("giant_band_1m", dict(m=1048576, avg=5, std=1.6667,
+                           placement="diagonal", bw=0.02, skew=0,
+                           neigh=0.02, crs=0.5),
+     ["gell", "cv_gell"]),
+    ("giant_scat_1m", dict(m=1048576, avg=5, std=1.6667,
+                           placement="random", bw=0.9, skew=0,
+                           neigh=0.9, crs=0.3),
+     ["gell", "scoo"]),
     # skew grid, scattered (mawi-class tail behavior)
     ("skew10_131k", dict(m=131072, avg=6, std=2, placement="random",
                          bw=0.9, skew=10, neigh=0.9, crs=0.3),
