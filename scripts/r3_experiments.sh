@@ -12,6 +12,15 @@ log "=== wrow SpMV ablation ==="
 timeout 2400 python scripts/exp_spmv_ablate.py || true
 log "=== Pallas DMA-gather rate (scattered fallback decision) ==="
 timeout 2400 python scripts/exp_pallas_gather.py || true
+log "=== n-scalability refresh (current kernels) ==="
+timeout 3600 python -m spgrid.bench \
+  --generate "512 512 256 32 normal random 1.0 0 0 0 14" \
+  --kernels dense,bsr_pallas,panel_pallas --num-cols 128,256,512,1024 \
+  --out benchmark_results/tpu-v5e/spmm_n_scalability_r3.csv || true
+timeout 3600 python -m spgrid.bench \
+  --generate "98304 98304 8 2.6667 normal random 0.05 0 0.05 0.5 14" \
+  --kernels auto,gell,cv_gell --num-cols 128,256,512,1024 \
+  --out benchmark_results/tpu-v5e/spmm_n_scalability_r3.csv || true
 log "=== analysis + figures ==="
 python scripts/analyze_twins.py || true
 python scripts/analyze_medium_study.py || true
