@@ -112,6 +112,25 @@ def main():
                 if "RESOURCE_EXHAUSTED" in str(e):
                     sys.exit(2)
 
+    # Short probe passes, same TPU process (one device owner at a time):
+    # the wrow ablation + DMA-gather rate inform the SpMV/scattered
+    # redesigns and must not wait for the multi-hour studies.
+    flag = os.path.join(os.path.dirname(OUT), ".newkernel_probes_done")
+    if not os.path.exists(flag):
+        for name, mod in (("wrow ablation", "exp_spmv_ablate"),
+                          ("dma-gather probe", "exp_pallas_gather")):
+            print(f"=== probe: {name} ===", flush=True)
+            try:
+                sys.path.insert(0, os.path.dirname(__file__))
+                __import__(mod).main([])
+            except SystemExit:
+                pass
+            except Exception as e:  # noqa: BLE001
+                print(f"  probe FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+        with open(flag, "w") as fh:
+            fh.write("done\n")
+
 
 if __name__ == "__main__":
     main()
