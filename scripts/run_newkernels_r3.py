@@ -117,17 +117,37 @@ def main():
     # redesigns and must not wait for the multi-hour studies.
     flag = os.path.join(os.path.dirname(OUT), ".newkernel_probes_done")
     if not os.path.exists(flag):
-        for name, mod in (("wrow ablation", "exp_spmv_ablate"),
-                          ("dma-gather probe", "exp_pallas_gather")):
-            print(f"=== probe: {name} ===", flush=True)
+        probe_log = os.path.join(os.path.dirname(OUT), "probes_r3.log")
+
+        class _Tee:
+            def __init__(self, *streams):
+                self.streams = streams
+
+            def write(self, s):
+                for st in self.streams:
+                    st.write(s)
+
+            def flush(self):
+                for st in self.streams:
+                    st.flush()
+
+        with open(probe_log, "a") as plog:
+            old = sys.stdout
+            sys.stdout = _Tee(old, plog)
             try:
-                sys.path.insert(0, os.path.dirname(__file__))
-                __import__(mod).main([])
-            except SystemExit:
-                pass
-            except Exception as e:  # noqa: BLE001
-                print(f"  probe FAILED: {type(e).__name__}: "
-                      f"{str(e)[:200]}", flush=True)
+                for name, mod in (("wrow ablation", "exp_spmv_ablate"),
+                                  ("dma-gather probe", "exp_pallas_gather")):
+                    print(f"=== probe: {name} ===", flush=True)
+                    try:
+                        sys.path.insert(0, os.path.dirname(__file__))
+                        __import__(mod).main([])
+                    except SystemExit:
+                        pass
+                    except Exception as e:  # noqa: BLE001
+                        print(f"  probe FAILED: {type(e).__name__}: "
+                              f"{str(e)[:200]}", flush=True)
+            finally:
+                sys.stdout = old
         with open(flag, "w") as fh:
             fh.write("done\n")
 
