@@ -136,6 +136,7 @@ def main():
             sys.stdout = _Tee(old, plog)
             try:
                 for name, mod in (("wrow ablation", "exp_spmv_ablate"),
+                                  ("wrow v2 A/B", "exp_wrow_v2"),
                                   ("dma-gather probe", "exp_pallas_gather")):
                     print(f"=== probe: {name} ===", flush=True)
                     try:
