@@ -128,7 +128,7 @@ def main(argv):
         fn = lambda ops, xx, v=variant: _spmv_variant(  # noqa: E731
             ops[0], ops[1], ops[2], ops[3], xx, m2=m2, variant=v)
         r = time_kernel_chained(
-            fn, x2, operands=((a.piece_w, a.group_sub, a.cols, a.values),),
+            fn, x2, operands=(a.piece_w, a.group_sub, a.cols, a.values),
             min_time_s=0.3, repeats=3)
         t = r.time_per_iter_s
         print(f"{variant:9s} {t*1e6:9.1f}us  {flops/t/1e9:7.1f} GF  "

@@ -137,6 +137,7 @@ def main():
             try:
                 for name, mod in (("wrow ablation", "exp_spmv_ablate"),
                                   ("wrow v2 A/B", "exp_wrow_v2"),
+                                  ("scoo ablation", "exp_scoo_ablate"),
                                   ("dma-gather probe", "exp_pallas_gather")):
                     print(f"=== probe: {name} ===", flush=True)
                     try:
