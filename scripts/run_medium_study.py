@@ -77,6 +77,26 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"  gen FAILED: {type(e).__name__}: {e}", flush=True)
             continue
+        # applicability gate for FIXED portfolio kernels: the cost model
+        # returns +inf where a format cannot run this matrix (e.g. dense
+        # on m=262k would densify 256GB -> device OOM -> exit-2 restart
+        # loop burning the whole retry budget on one row)
+        if len(todo) > 1 or todo != ["auto"]:
+            from spgrid.bench.harness import KERNELS
+            from spgrid.features.structural import matrix_features
+            from spgrid.ops.costmodel import estimate_spmm_time
+            import math
+            f = matrix_features(csr)
+            kept = []
+            for kk in todo:
+                fmt = KERNELS.get(kk)
+                if fmt is None or math.isfinite(
+                        estimate_spmm_time(f, fmt, 512)):
+                    kept.append(kk)
+                else:
+                    print(f"  skip {kk}: inapplicable (cost model inf)",
+                          flush=True)
+            todo = kept
         for kk in todo:
             try:
                 row = run_spmm(csr, kernel=kk, config=cfg)
