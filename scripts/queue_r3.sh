@@ -10,7 +10,9 @@
 # resumable across queue restarts).
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
-log(){ echo "[$(date +%H:%M:%S)] $*"; }
+# tee to the canonical log so queue_r3b.sh's waiter sees progress without
+# depending on how the operator redirected stdout (advisor r3)
+log(){ echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/queue_r3.log; }
 
 log "waiting for TPU..."
 while true; do
@@ -47,3 +49,4 @@ log "=== bf16 leg ===";            retry 6 python scripts/run_bf16_leg.py
 export MEDIUM_STUDY_MAX_S=14000
 log "=== medium study ===";        retry 40 python scripts/run_medium_study.py
 log "=== queue_r3 done ==="
+touch /tmp/queue_r3.done

@@ -4,7 +4,8 @@
 # a child script so it stays editable while this waiter runs).
 cd /root/repo
 log(){ echo "[$(date +%H:%M:%S)] $*"; }
-while ! grep -q "queue_r3 done" /tmp/queue_r3.log 2>/dev/null; do
+while [ ! -e /tmp/queue_r3.done ] && \
+      ! grep -q "queue_r3 done" /tmp/queue_r3.log 2>/dev/null; do
   sleep 120
 done
 log "queue_r3 finished; running experiments"

@@ -238,7 +238,11 @@ def _merge_time(f: MatrixFeatures, n: int) -> float:
     asked for the honest model + measurement)."""
     T = 512.0
     blocks = max(f.nnz / T, f.m / 128.0, 1.0)
-    gather = f.nnz / _gather_rate(f, n, 4.0)
+    # merge always gathers from the FULL X (never windowed), so the
+    # gell-only windowed fast-gather credit of _gather_rate does not
+    # apply — same full-source cliff check as _sell_time
+    g_rate = C.gather_fast if f.n * n * 4 <= (1 << 26) else C.gather_slow
+    gather = f.nnz / g_rate
     mxu = blocks * 2.0 * 128.0 * T * n / C.mxu_f32
     onehot_bytes = blocks * 128.0 * T * 4.0 * 2.0
     g_bytes = blocks * T * n * 4.0 * 2.0
@@ -302,12 +306,14 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
 
 
 # Default candidate set for f32-exact cost-based auto dispatch (CV modes
-# trade accuracy and are opted into explicitly).  wcoo_bands is back as a
-# candidate now that its model is fill-aware (_wcoo_bands_slots) — the
-# round-2 flat model mispredicted wide bands by 4x and the format was
-# temporarily amputated (VERDICT r2 weak #5).
+# trade accuracy and are opted into explicitly).  wcoo_bands stays OUT
+# until its fill-aware slot model (_wcoo_bands_slots, calibrated on only
+# two anchors) is validated against the r3 newkernels-grid rows — same
+# admission bar as scoo (VERDICT r3 weak #4 / advisor r3).  Re-admit via
+# scripts/refit_costmodel.py once per-row model error is <=~30% across
+# the band-width range.
 AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
-                   "coo", "wcoo_bands")
+                   "coo")
 
 
 def fit_constants(df, *, min_rows: int = 3) -> dict:

@@ -283,6 +283,12 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
         # bytes at this n/mode against the ~64MB gather cliff
         row_bytes = {"f32": 4 * n, "bf16": 2 * n, "split16": 4 * n}[mode]
         use_win = win_plan[2] * row_bytes <= (1 << 26)
+        if mode == "split16":
+            # the (k, 2n) [hi|lo] source only keeps XLA's fast gather
+            # path when 2n is a power of two (_split_planes doc): at
+            # e.g. n=384 the windowed gather would take the ~5x slow
+            # path it exists to avoid — fall back to the direct path
+            use_win = use_win and (n & (n - 1)) == 0
     if use_win:
         nb, rbw, span = win_plan
         if mode == "f32":

@@ -50,6 +50,37 @@ def test_spmv_vector_operand():
     np.testing.assert_allclose(y, gold[:, 0], rtol=2e-5, atol=1e-4)
 
 
+def test_skew_two_tier_spill():
+    # one heavy row (mawi-class skew): the per-block slot cap E must NOT
+    # inflate to the heavy block's population — overflow spills to the
+    # COO tail and the result still matches gold
+    m = 8192
+    csr = _gen(m, 3, 0.9, seed=7)
+    rng = np.random.default_rng(9)
+    heavy_cols = np.unique(rng.integers(0, m, 8000))       # ~half-dense row
+    rows = np.repeat(np.arange(m, dtype=np.int64), csr.degrees)
+    rows = np.concatenate([rows, np.zeros(heavy_cols.size, np.int64)])
+    cols = np.concatenate([csr.col_idx.astype(np.int64), heavy_cols])
+    vals = np.concatenate([csr.values,
+                           rng.random(heavy_cols.size).astype(np.float32)])
+    order = np.lexsort((cols, rows))
+    from spgrid.formats.csr import CSRMatrix
+    rp = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=m), out=rp[1:])
+    skewed = CSRMatrix(rp, cols[order].astype(np.int32),
+                       vals[order], (m, m), name="skew_test")
+    a = DeviceSCOO.from_csr(skewed, chunk_rows=256, window_cols=256)
+    nb, ns, R, W, E = a.plan
+    # mean block population ~30; the heavy row alone puts ~200 entries in
+    # each of its chunk's 32 blocks — a global-max E would be >200
+    assert E < 128, f"two-tier cap failed: E={E}"
+    assert int(a.srows.size) > 0          # spill actually exercised
+    x = np.random.default_rng(0).random((m, 32)).astype(np.float32)
+    y = np.asarray(scoo_spmm(a, jnp.asarray(x)))
+    gold = gold_spmm_fast(skewed.row_ptr, skewed.col_idx, skewed.values, x)
+    np.testing.assert_allclose(y, gold, rtol=2e-5, atol=1e-4)
+
+
 def test_dispatch_registered():
     csr = _gen(1000, 4, 0.9)
     a = dispatch.build(csr, "scoo")
