@@ -8,8 +8,14 @@ log(){ echo "[$(date +%H:%M:%S)] $*"; }
 
 log "=== gell f32 combine A/B (banded 262k) ==="
 timeout 2400 python scripts/exp_gell_bench.py 2 || true
+log "=== timing protocol A/B (VERDICT r3 weak 8) ==="
+timeout 2400 python scripts/exp_timing_protocol.py || true
 log "=== wrow SpMV ablation ==="
 timeout 2400 python scripts/exp_spmv_ablate.py || true
+log "=== wrow v2 block-stationary A/B (VERDICT r3 item 7) ==="
+timeout 2400 python scripts/exp_wrow_v2.py || true
+log "=== scoo gather/scatter ablation ==="
+timeout 2400 python scripts/exp_scoo_ablate.py || true
 log "=== Pallas DMA-gather rate (scattered fallback decision) ==="
 timeout 2400 python scripts/exp_pallas_gather.py || true
 log "=== n-scalability refresh (current kernels) ==="

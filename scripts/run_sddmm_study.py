@@ -57,29 +57,41 @@ def main():
     for mtype in ("band_and_random", "band_and_decay"):
         for sp in (0.5, 0.9, 0.95, 0.98):
             for prec in ("highest", "high"):
-                name = f"mask_{LENGTH}_{mtype}_sp{sp}_{prec}"
-                if (name, "sddmm_pallas", "512") in done:
-                    print("skip", name, flush=True)
-                    continue
-                # band_size=None -> the reference band table
-                # (sddmm_mask.h:28-34: 0.95->16, 0.98->8); the old fixed
-                # 64 band swamped the 0.95/0.98 targets and collapsed both
-                # mask types to the same pure band
-                cfg = BenchConfig(num_cols=512, sparsity=sp,
-                                  sparse_attention_type=mtype,
-                                  band_size=None,
-                                  precision=prec, min_time_s=0.3)
-                try:
-                    row = run_sddmm(LENGTH, config=cfg)
-                    row.matrix_name = name
-                    writer.write(row)
-                    print(f"{name}: {row.gflops:.0f} GFLOPS "
-                          f"passed={row.errors_passed}", flush=True)
-                except Exception as e:  # noqa: BLE001
-                    print(f"{name} FAILED: {type(e).__name__}: {e}",
-                          flush=True)
-                    if "RESOURCE_EXHAUSTED" in str(e):
-                        sys.exit(2)
+                done_fmt = None
+                # two arms per point: the occupancy plan AND fixed
+                # 128x128 (VERDICT r3 item 4: the planner rewired
+                # run_sddmm's blocking before any measurement validated
+                # est_speedup_vs_128 — this A/B is that validation)
+                for blocks, suff in ((None, ""), ((128, 128), "_b128")):
+                    name = f"mask_{LENGTH}_{mtype}_sp{sp}_{prec}{suff}"
+                    if (name, "sddmm_pallas", "512") in done:
+                        print("skip", name, flush=True)
+                        continue
+                    # band_size=None -> the reference band table
+                    # (sddmm_mask.h:28-34: 0.95->16, 0.98->8); the old
+                    # fixed 64 band swamped the 0.95/0.98 targets and
+                    # collapsed both mask types to the same pure band
+                    cfg = BenchConfig(num_cols=512, sparsity=sp,
+                                      sparse_attention_type=mtype,
+                                      band_size=None,
+                                      matmul_precision=prec,
+                                      min_time_s=0.3)
+                    try:
+                        row = run_sddmm(LENGTH, config=cfg, blocks=blocks)
+                        if blocks == (128, 128) and row.fmt == done_fmt:
+                            # plan chose 128x128 itself; no second arm
+                            continue
+                        if blocks is None:
+                            done_fmt = row.fmt
+                        row.matrix_name = name
+                        writer.write(row)
+                        print(f"{name} [{row.fmt}]: {row.gflops:.0f} GFLOPS "
+                              f"passed={row.errors_passed}", flush=True)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"{name} FAILED: {type(e).__name__}: {e}",
+                              flush=True)
+                        if "RESOURCE_EXHAUSTED" in str(e):
+                            sys.exit(2)
 
     # pipeline rows at the high-sparsity masks + decay type (the committed
     # pipeline.csv only covers band_and_random at 0.5/0.9/0.95)

@@ -350,6 +350,7 @@ def run_sddmm(
     use_pallas: bool = True,
     check_accuracy: bool = True,
     mask: Optional[CSRMatrix] = None,
+    blocks: Optional[tuple] = None,
 ) -> BenchRow:
     """Standalone SDDMM benchmark (ref: sddmm_code_bench/sddmm_bench.cpp:
     578-1040): generate the attention mask, fill dense X and Z with 0.1
@@ -380,11 +381,18 @@ def run_sddmm(
             # 15x worse (grid-step floor), so candidates stay MXU-height;
             # the planner counts occupied blocks exactly and picks the
             # cheapest (bm, bk) under the measured v5e per-block model
-            from spgrid.ops.sddmm_plan import choose_sddmm_blocks
-            plan = choose_sddmm_blocks(mask, n)
-            dev = DeviceBSR.from_csr(mask, bm=plan.bm, bk=plan.bk)
+            if blocks is not None:
+                # forced blocking (planner-validation A/B: VERDICT r3
+                # item 4 — measure fixed 128x128 against the plan before
+                # trusting the model's est_speedup_vs_128)
+                bm, bk = blocks
+            else:
+                from spgrid.ops.sddmm_plan import choose_sddmm_blocks
+                plan = choose_sddmm_blocks(mask, n)
+                bm, bk = plan.bm, plan.bk
+            dev = DeviceBSR.from_csr(mask, bm=bm, bk=bk)
             fn = lambda ops, q: bsr_sddmm(ops[0], q, ops[1])      # noqa: E731
-            fmt = f"bsr_pallas_{plan.bm}x{plan.bk}"
+            fmt = f"bsr_pallas_{bm}x{bk}"
         else:
             dev = DeviceCOO.from_csr(mask)
             fn = lambda ops, q: sddmm_coo(ops[0], q, ops[1])      # noqa: E731
