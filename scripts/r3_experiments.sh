@@ -10,14 +10,19 @@ log "=== gell f32 combine A/B (banded 262k) ==="
 timeout 2400 python scripts/exp_gell_bench.py 2 || true
 log "=== timing protocol A/B (VERDICT r3 weak 8) ==="
 timeout 2400 python scripts/exp_timing_protocol.py || true
-log "=== wrow SpMV ablation ==="
-timeout 2400 python scripts/exp_spmv_ablate.py || true
-log "=== wrow v2 block-stationary A/B (VERDICT r3 item 7) ==="
-timeout 2400 python scripts/exp_wrow_v2.py || true
-log "=== scoo gather/scatter ablation ==="
-timeout 2400 python scripts/exp_scoo_ablate.py || true
-log "=== Pallas DMA-gather rate (scattered fallback decision) ==="
-timeout 2400 python scripts/exp_pallas_gather.py || true
+# the four probes below already ran inside run_newkernels_r3.py's probe
+# pass (tee'd to probes_r3.log); only re-run here if that pass never
+# completed, so the TPU hours aren't spent twice
+if [ ! -e benchmark_results/tpu-v5e/.newkernel_probes_done ]; then
+  log "=== wrow SpMV ablation ==="
+  timeout 2400 python scripts/exp_spmv_ablate.py || true
+  log "=== wrow v2 block-stationary A/B (VERDICT r3 item 7) ==="
+  timeout 2400 python scripts/exp_wrow_v2.py || true
+  log "=== scoo gather/scatter ablation ==="
+  timeout 2400 python scripts/exp_scoo_ablate.py || true
+  log "=== Pallas DMA-gather rate (scattered fallback decision) ==="
+  timeout 2400 python scripts/exp_pallas_gather.py || true
+fi
 log "=== n-scalability refresh (current kernels) ==="
 timeout 3600 python -m spgrid.bench \
   --generate "512 512 256 32 normal random 1.0 0 0 0 14" \
