@@ -316,27 +316,27 @@ AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
                    "coo")
 
 
-def fit_constants(df, *, min_rows: int = 3) -> dict:
-    """Refit per-format corrections from measured sweep rows.
+def prediction_records(df) -> list:
+    """Per-row measured-vs-predicted model validation records.
 
-    `df` is a merged result frame (viz.dataset.merge_result_csvs) with
-    fixed-kernel rows.  For each format with >= min_rows oracle-passing
-    rows, the median measured/predicted time ratio becomes a
-    multiplicative correction applied by estimate_spmm_time — the
-    reference's empirical-sweep -> model-refit loop (SURVEY §6) with the
-    analytic forms as the basis.  Returns the fitted corrections (also
-    installed into the live constants).
+    For every oracle-passing fixed-kernel row in `df` (merged result
+    frame) with full feature columns, reconstruct the MatrixFeatures the
+    dispatcher would see and evaluate the analytic model.  Returns dicts
+    with fmt, matrix_name, n, measured/predicted time, their ratio, and
+    the structure features the models key on — the raw material for both
+    fit_constants and the per-format validation tables (VERDICT r3 item
+    6: no auto row steered by an unvalidated model).
     """
     import numpy as np  # noqa: F811
 
     from spgrid.features.structural import MatrixFeatures
 
-    ratios: dict = {}
+    records: list = []
     need = ["fmt", "time", "csr_m", "csr_k", "csr_nnz", "input_columns",
             "avg_nnz_per_row", "std_nnz_per_row", "avg_bw_scaled",
             "std_bw_scaled", "skew"]
     if any(c not in df.columns for c in need):
-        return {}
+        return records
     sub = df
     if "errors_passed" in df.columns:
         sub = df[df["errors_passed"] == 1]
@@ -365,7 +365,33 @@ def fit_constants(df, *, min_rows: int = 3) -> dict:
             cross_row_similarity=0.0)
         pred = estimate_spmm_time(f, fmt, int(r["input_columns"]))
         if math.isfinite(pred) and pred > 0 and float(r["time"]) > 0:
-            ratios.setdefault(fmt, []).append(float(r["time"]) / pred)
+            records.append(dict(
+                fmt=fmt, matrix_name=r.get("matrix_name", ""),
+                n=int(r["input_columns"]), time=float(r["time"]),
+                pred=pred, ratio=float(r["time"]) / pred,
+                m=m, nnz=int(r["csr_nnz"]),
+                avg_bw_scaled=float(r["avg_bw_scaled"]),
+                skew=float(r["skew"]),
+                source=r.get("source", "")))
+    return records
+
+
+def fit_constants(df, *, min_rows: int = 3) -> dict:
+    """Refit per-format corrections from measured sweep rows.
+
+    `df` is a merged result frame (viz.dataset.merge_result_csvs) with
+    fixed-kernel rows.  For each format with >= min_rows oracle-passing
+    rows, the median measured/predicted time ratio becomes a
+    multiplicative correction applied by estimate_spmm_time — the
+    reference's empirical-sweep -> model-refit loop (SURVEY §6) with the
+    analytic forms as the basis.  Returns the fitted corrections (also
+    installed into the live constants).
+    """
+    import numpy as np  # noqa: F811
+
+    ratios: dict = {}
+    for rec in prediction_records(df):
+        ratios.setdefault(rec["fmt"], []).append(rec["ratio"])
     fitted = {fmt: float(np.median(v)) for fmt, v in ratios.items()
               if len(v) >= min_rows}
     # apply on top of any existing correction (pred already includes it)
