@@ -51,10 +51,16 @@ SCALES = (0.7, 1.3)
 
 
 def jobs():
+    # ALL base twins first, then per-matrix sweep blocks: if the wall
+    # budget cuts the study short, every validation matrix still has its
+    # base row, and the first k matrices have complete +-30% sweeps (the
+    # twin-APE analysis needs base+swept pairs per matrix)
+    sweeps = []
     for (name, m, avg, std, bw, skew, neigh, crs) in BASES:
         base = dict(m=m, avg=avg, std=std, bw=bw, skew=skew, neigh=neigh,
                     crs=crs)
         yield f"{name}_twin", base
+        block = []
         for feat in SWEEP_FEATURES:
             for s in SCALES:
                 p = dict(base)
@@ -62,10 +68,16 @@ def jobs():
                     p["avg"] = round(avg * s, 5)
                 else:
                     p["bw"] = round(min(bw * s, 1.0), 5)
-                yield f"{name}_twin_{feat}_{s}", p
+                block.append((f"{name}_twin_{feat}_{s}", p))
+        sweeps.append(block)
+    for block in sweeps:
+        yield from block
 
 
 def main():
+    import time
+    t0 = time.time()
+    max_s = float(os.environ.get("VALIDATION_TWINS_MAX_S", 1e9))
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     writer = CSVWriter(OUT)
     done = writer.done_keys()
@@ -75,6 +87,9 @@ def main():
         if key in done:
             print(f"skip (done): {name}", flush=True)
             continue
+        if time.time() - t0 > max_s:
+            print(f"wall budget {max_s:.0f}s reached; stopping", flush=True)
+            return
         print(f"=== {name}: m={p['m']} avg={p['avg']} bw={p['bw']}",
               flush=True)
         try:

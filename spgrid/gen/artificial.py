@@ -45,9 +45,24 @@ contract — targets must be met as *measured* features):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from spgrid.formats.csr import CSRMatrix, IDX_DTYPE
+
+# On-disk cache for generated matrices.  Generation is deterministic per
+# parameter tuple but takes minutes at m ~ 10^5-10^6 on a 1-CPU host, and
+# the study queue re-pays it on every resume (and across studies sharing
+# a matrix).  Cache key = the full parameter tuple EXCLUDING `name` (the
+# same structure is reused under different study tags).  Opt out with
+# SPGRID_GEN_CACHE=0; override the directory by setting it to a path.
+_CACHE_MIN_NNZ = 1 << 19        # don't bother below ~0.5M nnz
+
+
+def _cache_dir():
+    v = os.environ.get("SPGRID_GEN_CACHE", "/tmp/spgrid_gen_cache")
+    return None if v in ("0", "") else v
 
 
 def artificial_matrix_generation(
@@ -69,6 +84,21 @@ def artificial_matrix_generation(
     rng = np.random.default_rng(np.random.PCG64(seed))
     avg = float(avg_nnz_per_row)
     std = float(std_nnz_per_row)
+
+    cache = _cache_dir()
+    cache_path = None
+    if cache is not None and m * avg >= _CACHE_MIN_NNZ:
+        key = (f"{m}_{n}_{avg:g}_{std:g}_{distribution}_{placement}_"
+               f"{bw:g}_{skew:g}_{avg_num_neighbours:g}_"
+               f"{cross_row_similarity:g}_{seed}_{np.dtype(dtype).name}")
+        cache_path = os.path.join(cache, key + ".npz")
+        if os.path.exists(cache_path):
+            try:
+                z = np.load(cache_path)
+                return CSRMatrix(z["row_ptr"], z["col_idx"], z["values"],
+                                 (m, n), name if name is not None else key)
+            except Exception:           # corrupt/partial file: regenerate
+                pass
 
     # --- 1. Row degrees -----------------------------------------------------
     if distribution == "normal":
@@ -245,7 +275,19 @@ def artificial_matrix_generation(
         name = (f"art_{m}_{n}_{avg:g}_{std:g}_{distribution}_{placement}_"
                 f"{bw:g}_{skew:g}_{avg_num_neighbours:g}_"
                 f"{cross_row_similarity:g}_{seed}")
-    return CSRMatrix(row_ptr.astype(IDX_DTYPE), cols, values, (m, n), name)
+    out = CSRMatrix(row_ptr.astype(IDX_DTYPE), cols, values, (m, n), name)
+    if cache_path is not None:
+        try:
+            os.makedirs(cache, exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:     # savez appends .npz to bare
+                np.savez(fh, row_ptr=out.row_ptr,   # paths; a file object
+                         col_idx=out.col_idx,       # keeps the name exact
+                         values=out.values)
+            os.replace(tmp, cache_path)
+        except Exception:               # cache is best-effort only
+            pass
+    return out
 
 
 def _ranges(lengths: np.ndarray) -> np.ndarray:
