@@ -9,7 +9,10 @@ log(){ echo "[$(date +%H:%M:%S)] $*"; }
 log "=== gell f32 combine A/B (banded 262k) ==="
 timeout 2400 python scripts/exp_gell_bench.py 2 || true
 log "=== timing protocol A/B (VERDICT r3 weak 8) ==="
-timeout 2400 python scripts/exp_timing_protocol.py || true
+# queue_r4.sh already runs this right after the grid; don't pay twice
+if [ ! -e benchmark_results/tpu-v5e/timing_protocol_ab.csv ]; then
+  timeout 2400 python scripts/exp_timing_protocol.py || true
+fi
 # the four probes below already ran inside run_newkernels_r3.py's probe
 # pass (tee'd to probes_r3.log); only re-run here if that pass never
 # completed, so the TPU hours aren't spent twice

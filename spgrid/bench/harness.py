@@ -60,6 +60,47 @@ def _cached_value_features(csr: CSRMatrix):
     return vf
 
 
+# Device-side dense-operand cache (one entry).  On this tunneled platform
+# the X transfer is the dominant fixed cost of a row (~800MB at m=393k
+# n=512 f32); sweeps run many kernels on the same matrix and the operand
+# is deterministic in (k, n, dtype, seed), so pay the transfer once.
+_XD_CACHE: dict = {}
+
+
+def _cached_xd(x: np.ndarray, key) -> "jnp.ndarray":
+    hit = _XD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _XD_CACHE.clear()
+    xd = jnp.asarray(x)
+    _XD_CACHE[key] = xd
+    return xd
+
+
+def _cached_gold(csr: CSRMatrix, gold_csr: CSRMatrix, x_gold: np.ndarray,
+                 gold_class: str, key_base) -> np.ndarray:
+    """f64 oracle, cached on the matrix object per (n,dtype,seed,class).
+
+    The oracle is identical for every exact kernel on the same matrix and
+    operand; recomputing it per kernel row costs minutes of host time per
+    row on this 1-CPU box.  CV/split modes gate against their dequantized
+    gold, so the class is part of the key.  At most 2 entries are kept
+    (exact + one CV class) to bound host memory (m*n float64 each)."""
+    cache = getattr(csr, "_spgrid_gold_cache", None)
+    if cache is None:
+        cache = {}
+        csr._spgrid_gold_cache = cache
+    key = (*key_base, gold_class)
+    gold = cache.get(key)
+    if gold is None:
+        gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
+                              gold_csr.values, x_gold)
+        if len(cache) >= 2:
+            cache.pop(next(iter(cache)))
+        cache[key] = gold
+    return gold
+
+
 KERNELS = {
     # kernel name -> format name in ops.dispatch
     "csr_xla_coo": "coo",          # segment-sum baseline (naive CSR analogue)
@@ -103,10 +144,30 @@ def run_spmm(
     config = config or BenchConfig()
     chip = chip or detect_chip()
     n = config.num_cols
-    if x is None:
+    x_auto = x is None
+    if x_auto:
         x = make_x(csr.k, n, config.dtype, config.seed)
-    xd = jnp.asarray(x)
-    csr = csr.astype(config.dtype) if csr.values.dtype != np.dtype(config.dtype) else csr
+        xd = _cached_xd(x, (csr.k, n, config.dtype, config.seed))
+    else:
+        xd = jnp.asarray(x)
+    if csr.values.dtype != np.dtype(config.dtype):
+        src = csr
+        cached = getattr(src, "_spgrid_cast_cache", None)
+        if cached is not None and cached[0] == config.dtype:
+            # reuse the previous cast object so its feature/gold caches
+            # survive across the kernels of a sweep
+            csr = cached[1]
+        else:
+            csr = src.astype(config.dtype)
+            # structural features are value-independent and the value
+            # features were sampled from the same (dtype-rounded) values:
+            # carry the per-matrix caches through the dtype cast so sweeps
+            # that run many kernels per matrix (e.g. the bf16 leg) don't
+            # recompute per row
+            for attr in ("_spgrid_feats", "_spgrid_value_feats"):
+                if hasattr(src, attr):
+                    setattr(csr, attr, getattr(src, attr))
+            src._spgrid_cast_cache = (config.dtype, csr)
 
     with jax.default_matmul_precision(config.precision):
         fmt = KERNELS[kernel]
@@ -218,8 +279,14 @@ def run_spmm(
                     import ml_dtypes
                     x_gold = np.ascontiguousarray(x, np.float32) \
                         .astype(ml_dtypes.bfloat16).astype(np.float32)
-            gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
-                                  gold_csr.values, x_gold)
+            gold_class = (fmt if (fmt in ("cv_gell", "gell16")
+                                  or fmt.startswith("cv_")) else "exact")
+            if x_auto:
+                gold = _cached_gold(csr, gold_csr, x_gold, gold_class,
+                                    (n, config.dtype, config.seed))
+            else:
+                gold = gold_spmm_fast(gold_csr.row_ptr, gold_csr.col_idx,
+                                      gold_csr.values, x_gold)
             test = np.asarray(fn(a, xd))
             eps = config.epsilon if config.dtype != "float32" else 1e-4
             m = error_metrics(gold, test, epsilon=eps)

@@ -176,3 +176,40 @@ def test_cli_param_stride(tmp_path, capsys):
     names = [r.split(",")[0] for r in rows]
     assert names == ["art_100_100_5_1.6667_normal_random_0.05_0_0.05_0.05_14",
                      "art_103_103_5_1.6667_normal_random_0.05_0_0.05_0.05_14"]
+
+
+def test_harness_caches_gold_and_operand():
+    """Sweep-cost caches: same matrix + config reuses the device operand
+    and the f64 gold across kernel rows; CV-class golds stay distinct."""
+    from spgrid.bench import harness
+
+    csr = random_csr(96, 96, 0.05, seed=3)
+    cfg = BenchConfig(num_cols=16, min_time_s=0.01, min_iters=2)
+    harness._XD_CACHE.clear()
+    r1 = run_spmm(csr, kernel="csr_xla_coo", config=cfg)
+    assert len(harness._XD_CACHE) == 1
+    xd1 = next(iter(harness._XD_CACHE.values()))
+    gold_cache = csr._spgrid_gold_cache
+    assert len(gold_cache) == 1 and next(iter(gold_cache))[-1] == "exact"
+    gold1 = next(iter(gold_cache.values()))
+    r2 = run_spmm(csr, kernel="dense", config=cfg)
+    # same operand object reused, gold not recomputed (same single entry)
+    assert next(iter(harness._XD_CACHE.values())) is xd1
+    assert next(iter(gold_cache.values())) is gold1
+    assert r1.errors_passed and r2.errors_passed
+    # a CV kernel gates against its dequantized gold => second entry
+    run_spmm(csr, kernel="cv_bf16", config=cfg)
+    assert any(k[-1] == "cv_bf16" for k in gold_cache)
+
+
+def test_harness_cast_cache_carries_features():
+    """astype() must not drop the per-matrix feature caches (bf16 leg
+    runs many kernels per matrix)."""
+    csr = random_csr(64, 64, 0.05, seed=4)
+    cfg = BenchConfig(num_cols=8, dtype="bfloat16", min_time_s=0.01,
+                      min_iters=2)
+    run_spmm(csr, kernel="dense", config=cfg)
+    dtype, cast = csr._spgrid_cast_cache
+    assert dtype == "bfloat16" and hasattr(cast, "_spgrid_feats")
+    run_spmm(csr, kernel="csr_xla_coo", config=cfg)
+    assert csr._spgrid_cast_cache[1] is cast
