@@ -6,6 +6,13 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 log(){ echo "[$(date +%H:%M:%S)] $*"; }
 
+log "=== new-kernel grid remainder (re-run: round-4 worker crash burned the skew grid + probes) ==="
+for i in 1 2 3 4 5 6; do
+  python scripts/run_newkernels_r3.py; rc=$?
+  [ $rc -eq 0 ] && break
+  [ $rc -ne 2 ] && break
+  log "restart $i/6 after device poisoning: newkernels"
+done
 log "=== gell f32 combine A/B (banded 262k) ==="
 timeout 2400 python scripts/exp_gell_bench.py 2 || true
 log "=== timing protocol A/B (VERDICT r3 weak 8) ==="

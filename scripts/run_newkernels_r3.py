@@ -31,6 +31,7 @@ from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
                    "tpu-v5e", "newkernels_r3.csv")
+CRASHES = os.path.join(os.path.dirname(OUT), ".newkernel_crashes")
 
 # (tag, gen kwargs, kernels)
 G = dict(distribution="normal", seed=14)
@@ -83,6 +84,10 @@ def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     writer = CSVWriter(OUT)
     done = writer.done_keys()
+    crash_skip = set()
+    if os.path.exists(CRASHES):
+        with open(CRASHES) as fh:
+            crash_skip = {tuple(l.strip().split("|")) for l in fh if "|" in l}
     cfg = BenchConfig(num_cols=512, min_time_s=0.25)
     for tag, p, kernels in JOBS:
         name = f"r3_{tag}"
@@ -101,6 +106,10 @@ def main():
             print(f"  gen FAILED: {type(e).__name__}: {e}", flush=True)
             continue
         for kk in todo:
+            if (name, kk) in crash_skip:
+                print(f"  {kk}: skipped (crashed the worker on a previous "
+                      f"attempt)", flush=True)
+                continue
             try:
                 row = run_spmm(csr, kernel=kk, config=cfg)
                 writer.write(row)
@@ -109,7 +118,18 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  {kk} FAILED: {type(e).__name__}: {str(e)[:200]}",
                       flush=True)
-                if "RESOURCE_EXHAUSTED" in str(e):
+                msg = str(e)
+                # A kernel fault or failed alloc poisons the PROCESS: every
+                # later device call returns UNAVAILABLE/RESOURCE_EXHAUSTED
+                # (round-4 lesson: the whole skew grid + probes burned as
+                # collateral of one gell16 crash).  Blame the crashing
+                # (matrix, kernel) so the restart skips it, then exit 2
+                # for the retry wrapper.
+                if "UNAVAILABLE" in msg or "crashed" in msg:
+                    with open(CRASHES, "a") as fh:
+                        fh.write(f"{name}|{kk}\n")
+                    sys.exit(2)
+                if "RESOURCE_EXHAUSTED" in msg:
                     sys.exit(2)
 
     # Short probe passes, same TPU process (one device owner at a time):
@@ -131,6 +151,7 @@ def main():
                 for st in self.streams:
                     st.flush()
 
+        any_ok = False
         with open(probe_log, "a") as plog:
             old = sys.stdout
             sys.stdout = _Tee(old, plog)
@@ -143,15 +164,19 @@ def main():
                     try:
                         sys.path.insert(0, os.path.dirname(__file__))
                         __import__(mod).main([])
+                        any_ok = True
                     except SystemExit:
-                        pass
+                        any_ok = True
                     except Exception as e:  # noqa: BLE001
                         print(f"  probe FAILED: {type(e).__name__}: "
                               f"{str(e)[:200]}", flush=True)
             finally:
                 sys.stdout = old
-        with open(flag, "w") as fh:
-            fh.write("done\n")
+        # only mark done if the device was actually alive for the pass
+        # (a poisoned process fails every probe with UNAVAILABLE)
+        if any_ok:
+            with open(flag, "w") as fh:
+                fh.write("done\n")
 
 
 if __name__ == "__main__":

@@ -63,16 +63,17 @@ def _cached_value_features(csr: CSRMatrix):
 # Device-side dense-operand cache (one entry).  On this tunneled platform
 # the X transfer is the dominant fixed cost of a row (~800MB at m=393k
 # n=512 f32); sweeps run many kernels on the same matrix and the operand
-# is deterministic in (k, n, dtype, seed), so pay the transfer once.
+# is deterministic in (k, n, dtype, seed), so pay the transfer (or the
+# on-device generation) once.
 _XD_CACHE: dict = {}
 
 
-def _cached_xd(x: np.ndarray, key) -> "jnp.ndarray":
+def _cached_xd(key, build) -> "jnp.ndarray":
     hit = _XD_CACHE.get(key)
     if hit is not None:
         return hit
     _XD_CACHE.clear()
-    xd = jnp.asarray(x)
+    xd = build()
     _XD_CACHE[key] = xd
     return xd
 
@@ -99,6 +100,69 @@ def _cached_gold(csr: CSRMatrix, gold_csr: CSRMatrix, x_gold: np.ndarray,
             cache.pop(next(iter(cache)))
         cache[key] = gold
     return gold
+
+
+def _cached_device_oracle(csr: CSRMatrix, gold_csr: CSRMatrix,
+                          gold_class: str):
+    """DeviceOracle per (matrix object, accuracy class) — the gold ELL
+    upload and the dd gold compute are paid once per class, not per
+    kernel row."""
+    from spgrid.core.device_oracle import DeviceOracle
+    cache = getattr(csr, "_spgrid_dev_oracle", None)
+    if cache is None:
+        cache = {}
+        csr._spgrid_dev_oracle = cache
+    orc = cache.get(gold_class)
+    if orc is None:
+        orc = DeviceOracle.from_csr(gold_csr)
+        if len(cache) >= 2:
+            cache.pop(next(iter(cache)))
+        cache[gold_class] = orc
+    return orc
+
+
+def _xg_device(xd, fmt: str):
+    """The accuracy class's X transform, on device — must match the host
+    transforms in run_spmm's accuracy block bit-for-bit (both are RNE
+    bf16 rounding / high-half masking)."""
+    if fmt in ("cv_gell", "cv_panel"):
+        return xd.astype(jnp.bfloat16).astype(jnp.float32)
+    if fmt == "gell16":
+        xf = xd.astype(jnp.float32)
+        ui = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(ui & jnp.uint32(0xFFFF0000),
+                                          jnp.float32)
+        lo = (xf - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        return hi + lo
+    return xd
+
+
+def _xg_host(x: np.ndarray, fmt: str) -> np.ndarray:
+    """Host mirror of _xg_device (same RNE bf16 rounding / masking)."""
+    import ml_dtypes
+    xf = np.ascontiguousarray(x, np.float32)
+    if fmt in ("cv_gell", "cv_panel"):
+        return xf.astype(ml_dtypes.bfloat16).astype(np.float32)
+    if fmt == "gell16":
+        hi = (xf.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+        lo = (xf - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+        return hi + lo
+    return xf
+
+
+_XHOST_CACHE: dict = {}
+
+
+def _cached_host_x(k: int, n: int, dtype: str, seed: int) -> np.ndarray:
+    """Host copy of device_x's values (threefry on the CPU backend)."""
+    key = (k, n, dtype, seed)
+    hit = _XHOST_CACHE.get(key)
+    if hit is None:
+        from spgrid.core.device_oracle import host_x_of_device
+        _XHOST_CACHE.clear()
+        hit = host_x_of_device(k, n, dtype, seed)
+        _XHOST_CACHE[key] = hit
+    return hit
 
 
 KERNELS = {
@@ -145,9 +209,27 @@ def run_spmm(
     chip = chip or detect_chip()
     n = config.num_cols
     x_auto = x is None
-    if x_auto:
+    # Oracle placement: on device when the (m, n) result download would
+    # dominate the row (tunneled accelerator, result > ~32MB); the host
+    # f64 path below stays the definition and the default elsewhere.
+    on_accel = jax.default_backend() != "cpu"
+    use_dev_oracle = check_accuracy and config.dtype != "float64" and (
+        config.oracle == "device"
+        or (config.oracle == "auto" and on_accel
+            and csr.m * n * np.dtype(config.dtype).itemsize > (32 << 20)))
+    x_dev = x_auto and (
+        config.x_source == "device"
+        or (config.x_source == "auto" and use_dev_oracle))
+    if x_dev:
+        from spgrid.core.device_oracle import device_x
+        xd = _cached_xd((csr.k, n, config.dtype, config.seed, "dev"),
+                        lambda: device_x(csr.k, n, config.dtype,
+                                         config.seed))
+        # host values materialize lazily (heavy rows / host fallbacks)
+    elif x_auto:
         x = make_x(csr.k, n, config.dtype, config.seed)
-        xd = _cached_xd(x, (csr.k, n, config.dtype, config.seed))
+        xd = _cached_xd((csr.k, n, config.dtype, config.seed),
+                        lambda: jnp.asarray(x))
     else:
         xd = jnp.asarray(x)
     if csr.values.dtype != np.dtype(config.dtype):
@@ -252,7 +334,45 @@ def run_spmm(
         row.val_exp_unique = float(vf.exp_unique)
         row.val_kmeans_rel_error_8 = vf.kmeans_rel_error_8
 
-        if check_accuracy:
+        if check_accuracy and use_dev_oracle:
+            gold_class = (fmt if (fmt in ("cv_gell", "gell16")
+                                  or fmt.startswith("cv_")) else "exact")
+            eps = config.epsilon if config.dtype != "float32" else 1e-4
+            gold_csr = csr
+            if fmt.startswith("cv_") and fmt != "cv_gell":
+                from spgrid.formats.cv import csr_to_cv, cv_to_csr
+                mode = "bf16" if fmt == "cv_panel" else fmt.split("_")[1]
+                gold_csr = cv_to_csr(csr_to_cv(csr, mode))
+            orc = _cached_device_oracle(csr, gold_csr, gold_class)
+            xg = _xg_device(xd, fmt)
+            test_dev = fn(a, xd)
+            xh = None
+            if len(orc.heavy_rows):
+                xh_base = (np.asarray(x, np.float32) if x is not None else
+                           _cached_host_x(csr.k, n, config.dtype,
+                                          config.seed))
+                if x is None:
+                    # threefry bits must agree across backends for the
+                    # host f64 pass to gate the same operand; a tiny
+                    # sample fetch guards the assumption at run time
+                    samp = np.asarray(xd[:1, :min(8, n)], np.float32)
+                    if not np.array_equal(samp, xh_base[:1, :min(8, n)]):
+                        raise RuntimeError(
+                            "device/host PRNG mismatch: device-x oracle "
+                            "unusable on this backend")
+                xh = np.asarray(_xg_host(xh_base, fmt), np.float32)
+            m = orc.check(test_dev, xg, eps, x_host=xh)
+            row.mae, row.max_ae, row.mse = m.mae, m.max_ae, m.mse
+            row.mape, row.smape = m.mape, m.smape
+            row.lnQ_error, row.mlare, row.gmare = (m.lnQ_error, m.mlare,
+                                                   m.gmare)
+            row.errors_passed = int(m.passed)
+            if not m.passed:
+                print(f"Test failed! {csr.name} {kernel_run}: "
+                      f"max_rel_diff={m.max_rel_diff:.3e}")
+        elif check_accuracy:
+            if x is None:
+                x = _cached_host_x(csr.k, n, config.dtype, config.seed)
             gold_csr = csr
             x_gold = x
             if fmt == "cv_gell" or (fmt == "gell16"):

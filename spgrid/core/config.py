@@ -79,6 +79,20 @@ class BenchConfig:
     # fail the reference gate.
     matmul_precision: str = "auto"
 
+    # Accuracy oracle placement: 'host' = f64 Kahan on host (the
+    # definition; core/metrics.py), 'device' = double-float gold +
+    # on-device metrics (core/device_oracle.py; ~10-scalar fetch instead
+    # of an (m, n) result download), 'auto' = device on accelerator
+    # backends when the result exceeds ~32MB.  The two agree to the
+    # oracle noise floor (~1e-13 relative; pinned by tests).
+    oracle: str = "auto"
+
+    # Dense-operand source: 'host' = numpy PCG64 + transfer (make_x),
+    # 'device' = threefry on device, zero transfer (device_oracle.
+    # device_x; bit-reproducible on CPU for the host passes), 'auto' =
+    # device whenever the device oracle is in effect.
+    x_source: str = "auto"
+
     # Reproducibility
     seed: int = 14
 
