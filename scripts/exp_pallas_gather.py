@@ -96,6 +96,19 @@ def main(argv):
     k, n = 65536, 512
     X = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
 
+    if "xla" in argv or not argv:
+        # baseline: XLA's own gather on the same over-cliff source/pattern
+        nrows = 64 * 384
+        idx = jnp.asarray(rng.integers(0, k, nrows).astype(np.int32))
+        fn = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
+        r = time_kernel_chained(
+            lambda ops, x: fn(x, ops[0]), X, operands=(idx,),
+            min_time_s=0.3, repeats=3)
+        t = r.time_per_iter_s
+        by = nrows * n * 4 * 2
+        print(f"xla-gather 134MB-src: {t*1e6:9.1f}us "
+              f"{nrows/t/1e6:8.1f} Mrow/s {by/t/1e9:7.1f} GB/s", flush=True)
+
     if "dma" in argv or not argv:
         for G in (64, 256):
             nsteps = 384  # G*nsteps rows gathered

@@ -47,15 +47,15 @@ JOBS = [
     # scattered hypersparse — scoo's target (art_393215 twin: 9-34 GF in r2)
     ("scat_393k", dict(m=393215, avg=5, std=1.6667, placement="random",
                        bw=0.5, skew=0, neigh=0.5, crs=0.75),
-     ["gell", "gell16", "scoo", "sell"]),
+     ["gell", "gell16", "scoo", "sell", "dgell"]),
     ("scat_524k", dict(m=524287, avg=5, std=1.6667, placement="random",
                        bw=0.95, skew=0, neigh=0.95, crs=0.05),
-     ["gell", "gell16", "scoo"]),
+     ["gell", "gell16", "scoo", "dgell"]),
     # wide band: unwindowable at n=512 for the exact modes (band ~60k
     # rows of 200k); cv_gell's bf16 source windows it (r3 mode-aware cap)
     ("wideband_196k", dict(m=196608, avg=6, std=2, placement="diagonal",
                            bw=0.3, skew=0, neigh=0.3, crs=0.5),
-     ["gell", "gell16", "cv_gell", "scoo", "wcoo_bands"]),
+     ["gell", "gell16", "cv_gell", "scoo", "wcoo_bands", "dgell"]),
     # the reference regime's upper end (mkl_ie runs m = 65k-2M;
     # spgrid's largest committed row was 524k): banded -> windowed gell,
     # scattered -> scoo's worst case (X = 2GB, source 32x the cliff)
@@ -66,17 +66,17 @@ JOBS = [
     ("giant_scat_1m", dict(m=1048576, avg=5, std=1.6667,
                            placement="random", bw=0.9, skew=0,
                            neigh=0.9, crs=0.3),
-     ["gell", "scoo"]),
+     ["gell", "scoo", "dgell"]),
     # skew grid, scattered (mawi-class tail behavior)
     ("skew10_131k", dict(m=131072, avg=6, std=2, placement="random",
                          bw=0.9, skew=10, neigh=0.9, crs=0.3),
-     ["gell", "merge", "scoo"]),
+     ["gell", "merge", "scoo", "dgell"]),
     ("skew1k_131k", dict(m=131072, avg=6, std=2, placement="random",
                          bw=0.9, skew=1000, neigh=0.9, crs=0.3),
-     ["gell", "merge", "scoo"]),
+     ["gell", "merge", "scoo", "dgell"]),
     ("skew100k_131k", dict(m=131072, avg=6, std=2, placement="random",
                            bw=0.9, skew=100000, neigh=0.9, crs=0.3),
-     ["gell", "merge", "scoo"]),
+     ["gell", "merge", "scoo", "dgell"]),
 ]
 
 

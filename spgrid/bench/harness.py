@@ -189,6 +189,7 @@ KERNELS = {
     "merge": "merge",              # merge-path equal-nnz blocks (A.3)
     "scoo": "scoo",                # column-windowed COO (scattered hypersparse)
     "sell": "sell",                # SELL-C-sigma (sigma-sorted sliced ELL)
+    "dgell": "dgell",              # DMA-gather ELL (scattered hypersparse)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
     "autotune": None,              # measured dispatch (inspector-executor

@@ -34,11 +34,12 @@ from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
 from spgrid.ops.gell import DeviceGELL, gell_spmm
 from spgrid.ops.merge import DeviceMerge, merge_spmm
 from spgrid.ops.scoo import DeviceSCOO, scoo_spmm
+from spgrid.ops.pallas.dgell import DeviceDGELL, dgell_spmm
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
            "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv",
-           "gell", "gell16", "cv_gell", "merge", "scoo")
+           "gell", "gell16", "cv_gell", "merge", "scoo", "dgell")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -115,6 +116,10 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceGELL.from_csr(csr, mode="bf16")
     if fmt == "merge":
         return DeviceMerge.from_csr(csr)
+    if fmt == "dgell":
+        # per-nnz HBM->VMEM DMA gather: scattered structure, X in HBM
+        # (ops/pallas/dgell.py; MKL-IE regime, spmm_kernel_mkl_ie.cpp:75-104)
+        return DeviceDGELL.from_csr(csr)
     if fmt == "scoo":
         # column-windowed COO: every gather source stays under the ~64MB
         # rate cliff even when the structure is scattered (ops/scoo.py)
@@ -146,6 +151,7 @@ def spmm_fn(fmt: str) -> Callable:
         "cv_gell": gell_spmm,
         "merge": merge_spmm,
         "scoo": scoo_spmm,
+        "dgell": dgell_spmm,
     }[fmt]
 
 
