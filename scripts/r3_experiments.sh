@@ -44,6 +44,7 @@ timeout 3600 python -m spgrid.bench \
   --out benchmark_results/tpu-v5e/spmm_n_scalability_r3.csv || true
 log "=== analysis + figures ==="
 python scripts/analyze_twins.py || true
+python scripts/analyze_sddmm_ab.py || true
 python scripts/analyze_medium_study.py || true
 python scripts/refit_costmodel.py || true
 python scripts/make_comparison_figure.py || true
