@@ -74,8 +74,11 @@ def main() -> int:
     csr = artificial_matrix_generation(
         512, 512, 256, 32, "normal", seed=14, placement="random", bw=1.0,
         name="dlmc_twin_512_0.5")
+    # static-trip-count protocol: the headline kernel is ~10us/iter and
+    # the dynamic loop's bookkeeping reads +5-7% there (measured,
+    # timing_protocol_ab.csv); deployment jits with static bounds
     cfg = BenchConfig(num_cols=512, dtype="float32", min_time_s=1.0,
-                      warmup_iters=5)
+                      warmup_iters=5, timing_protocol="static")
 
     best = None
     for kernel in ("dense", "panel_pallas", "bsr_pallas"):

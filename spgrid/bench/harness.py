@@ -291,6 +291,7 @@ def run_spmm(
             flops=flops,
             bytes_accessed=bytes_accessed,
             per_iter_hint=hint,
+            static_lengths=config.timing_protocol == "static",
         )
 
         row = BenchRow(

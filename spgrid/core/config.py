@@ -87,6 +87,13 @@ class BenchConfig:
     # oracle noise floor (~1e-13 relative; pinned by tests).
     oracle: str = "auto"
 
+    # Chained-timing trip count: 'dynamic' = one jit for all loop lengths
+    # (sweep default: compiles dominate sweeps on this platform),
+    # 'static' = per-length jits with constant bounds (headline rows:
+    # the dynamic loop's bookkeeping reads +5-7% on ~10us kernels —
+    # measured, timing_protocol_ab.csv).
+    timing_protocol: str = "dynamic"
+
     # Dense-operand source: 'host' = numpy PCG64 + transfer (make_x),
     # 'device' = threefry on device, zero transfer (device_oracle.
     # device_x; bit-reproducible on CPU for the host passes), 'auto' =

@@ -22,6 +22,7 @@ design (both observed on real hardware):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from typing import Callable, Optional
@@ -106,6 +107,35 @@ def _chained_many(kernel_of_x: Callable):
     return many
 
 
+def _chained_many_static(kernel_of_x: Callable):
+    """Per-length jits: the trip count is a static python int, so XLA
+    sees a constant-bound loop with zero dynamic bookkeeping.
+
+    The r4 protocol A/B (timing_protocol_ab.csv) measured the dynamic
+    trip-count loop +5-7% slower per iteration on ~10us kernels (loop
+    bookkeeping is a real, kernel-extrinsic overhead); deployment code
+    jits with static bounds, so headline-scale measurements should too.
+    Costs one compile per loop length — use for single rows, not sweeps.
+    """
+    @functools.lru_cache(maxsize=8)
+    def of_len(iters: int):
+        @jax.jit
+        def many(x0, _iters_ignored, operands):
+            def body(i, xc):
+                y = (kernel_of_x(xc) if operands is None
+                     else kernel_of_x(operands, xc))
+                return _feedback(y, x0)
+            return jax.lax.fori_loop(0, iters, body, x0,
+                                     unroll=min(iters, 4))
+        return many
+
+    class _Dispatch:
+        def __call__(self, x0, iters, operands):
+            return of_len(int(iters))(x0, iters, operands)
+
+    return _Dispatch()
+
+
 def time_kernel_chained(
     kernel_of_x: Callable[..., jax.Array],
     x: jax.Array,
@@ -117,6 +147,7 @@ def time_kernel_chained(
     bytes_accessed: Optional[float] = None,
     repeats: int = 3,
     per_iter_hint: Optional[float] = None,
+    static_lengths: bool = False,
 ) -> TimedResult:
     """Differenced chained-loop timing (the default protocol).
 
@@ -124,8 +155,11 @@ def time_kernel_chained(
     count); per-iteration time = (t(I2)-t(I1))/(I2-I1), cancelling RTT and
     dispatch overhead.  ``per_iter_hint`` (e.g. the dispatch cost model's
     estimate) seeds the loop-length escalation, usually collapsing it to a
-    single probe."""
-    many = _chained_many(kernel_of_x)
+    single probe.  ``static_lengths=True`` compiles one jit per loop
+    length instead (see _chained_many_static): minimal per-iteration
+    overhead, right for headline single-row measurements."""
+    many = (_chained_many_static(kernel_of_x) if static_lengths
+            else _chained_many(kernel_of_x))
     i1 = base_iters
     run1 = _chained_runner(kernel_of_x, x, i1, operands, many=many)
     _sync_fetch(run1(x))                       # compile + warm

@@ -213,3 +213,11 @@ def test_harness_cast_cache_carries_features():
     assert dtype == "bfloat16" and hasattr(cast, "_spgrid_feats")
     run_spmm(csr, kernel="csr_xla_coo", config=cfg)
     assert csr._spgrid_cast_cache[1] is cast
+
+
+def test_static_timing_protocol():
+    """static_lengths timing path: same row shape, sane per-iter time."""
+    csr = random_csr(64, 64, 0.05, seed=9)
+    cfg = BenchConfig(num_cols=8, min_time_s=0.02, timing_protocol="static")
+    row = run_spmm(csr, kernel="csr_xla_coo", config=cfg)
+    assert row.errors_passed == 1 and row.time > 0
