@@ -37,8 +37,20 @@ FMT_COLORS = {
 
 
 def main():
-    path = os.path.join(RES, "medium_study.csv")
-    df = pd.read_csv(path)
+    # prefer the full study; fall back to the committed medium slices
+    # (r2 vintage, same schema) so the analysis runs on whatever medium
+    # rows exist rather than requiring the complete 500-matrix study
+    paths = [os.path.join(RES, p) for p in
+             ("medium_study.csv", "medium_slice_auto.csv",
+              "medium_spread_auto.csv", "medium_spread_r2.csv",
+              "medium_spread_r2_refresh.csv")]
+    frames = [pd.read_csv(p) for p in paths if os.path.exists(p)]
+    if not frames:
+        print("no medium rows yet"); return
+    df = pd.concat(frames, ignore_index=True) \
+        .drop_duplicates(subset=["matrix_name", "kernel", "input_columns"])
+    print(f"{len(df)} medium rows from "
+          f"{sum(os.path.exists(p) for p in paths)} CSVs")
     ok = df[df.get("errors_passed", 1) == 1]
 
     acc, rows = dispatch_accuracy(ok)
