@@ -44,7 +44,7 @@ class DeviceDGELL:
     """ELL slots + COO tail, blocked for the DMA-gather kernel."""
 
     cols: jax.Array      # (nb8, rb*S) int32  per-step slot cols, slot-major
-    values: jax.Array    # (nb*rb, S) f32            0 for padding
+    values: jax.Array    # (nb*rb, 128) f32  lane-padded, 0 beyond slots
     tail_rows: jax.Array  # (t,) int32
     tail_cols: jax.Array  # (t,) int32
     tail_vals: jax.Array  # (t,) f32
@@ -65,7 +65,7 @@ class DeviceDGELL:
 
     @classmethod
     def from_csr(cls, csr: CSRMatrix, slots: int | None = None,
-                 rb: int = 32) -> "DeviceDGELL":
+                 rb: int = 16) -> "DeviceDGELL":
         m, k = csr.shape
         deg = csr.degrees
         if slots is None:
@@ -73,9 +73,11 @@ class DeviceDGELL:
             slots = max(1, int(np.ceil(avg * 1.25)))
             if deg.size and int(deg.max()) <= slots + 2:
                 slots = int(deg.max())
-        # keep the per-step DMA fan-out (rb*S) near the probe's measured
-        # concurrency sweet spot
-        while rb > 8 and rb * slots > 256:
+        slots = min(slots, 128)       # values block is lane-padded to 128
+        # cap the per-step DMA fan-out (rb*S): bounds both the in-flight
+        # copy count and the unrolled program size the Mosaic compiler
+        # has to chew (r4: 224-copy steps crashed the remote compiler)
+        while rb > 8 and rb * slots > 128:
             rb //= 2
         m_pad = -(-max(m, 1) // rb) * rb
         nb = m_pad // rb
@@ -98,9 +100,16 @@ class DeviceDGELL:
         cols_steps = np.zeros((nb8, rb * slots), dtype=np.int32)
         cols_steps[:nb] = cols.reshape(nb, rb, slots) \
             .transpose(0, 2, 1).reshape(nb, rb * slots)
+        # lane-pad values to the native 128-lane tile: every working
+        # Mosaic kernel in this repo feeds 128-lane blocks, and the (rb,S)
+        # odd-lane block was the prime suspect in the remote-compiler
+        # crash; the padding costs m_pad*128*4 bytes of HBM (64-512MB at
+        # the grid's sizes) and nothing else
+        vals128 = np.zeros((m_pad, 128), dtype=np.float32)
+        vals128[:, :slots] = vals
         return cls(
             cols=jnp.asarray(cols_steps),
-            values=jnp.asarray(vals),
+            values=jnp.asarray(vals128),
             tail_rows=jnp.asarray(row_of[tail].astype(np.int32)),
             tail_cols=jnp.asarray(csr.col_idx[tail].astype(np.int32)),
             tail_vals=jnp.asarray(csr.values[tail].astype(np.float32)),
@@ -150,7 +159,7 @@ def _dgell_call(cols, vals, x, *, rb, S, interpret):
         in_specs=[
             pl.BlockSpec((8, rb * S), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((rb, S), lambda b: (b, 0)),
+            pl.BlockSpec((rb, 128), lambda b: (b, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((rb, n), lambda b: (b, 0)),
