@@ -41,9 +41,16 @@ PORTFOLIO = ("gell", "cv_gell", "merge", "sell", "ell_xla", "bsr_pallas",
 PORTFOLIO_EVERY = 4
 
 
+CRASHES = os.path.join(os.path.dirname(OUT), ".medium_crashes")
+
+
 def main():
     t0 = time.time()
     max_s = float(os.environ.get("MEDIUM_STUDY_MAX_S", 9000))
+    crash_skip = set()
+    if os.path.exists(CRASHES):
+        with open(CRASHES) as fh:
+            crash_skip = {tuple(l.strip().split("|")) for l in fh if "|" in l}
     params = [p for p in read_param_file(PARAMS) if p.nr_rows <= MAX_ROWS]
     stride = max(1, len(params) // TARGET)
     params = params[::stride]
@@ -105,6 +112,10 @@ def main():
                           flush=True)
             todo = kept
         for kk in todo:
+            if (name, kk) in crash_skip:
+                print(f"  {kk}: skipped (crashed the worker previously)",
+                      flush=True)
+                continue
             try:
                 row = run_spmm(csr, kernel=kk, config=cfg)
                 writer.write(row)
@@ -113,7 +124,15 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  {kk} FAILED: {type(e).__name__}: "
                       f"{str(e)[:160]}", flush=True)
-                if "RESOURCE_EXHAUSTED" in str(e):
+                msg = str(e)
+                # a kernel fault poisons the PROCESS (newkernels r4
+                # lesson): quarantine the (matrix, kernel) and exit 2 so
+                # the retry wrapper restarts us clean
+                if "UNAVAILABLE" in msg or "crashed" in msg:
+                    with open(CRASHES, "a") as fh:
+                        fh.write(f"{name}|{kk}\n")
+                    sys.exit(2)
+                if "RESOURCE_EXHAUSTED" in msg:
                     sys.exit(2)
 
 

@@ -32,6 +32,7 @@ from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
                    "tpu-v5e", "newkernels_r3.csv")
 CRASHES = os.path.join(os.path.dirname(OUT), ".newkernel_crashes")
+REX = os.path.join(os.path.dirname(OUT), ".newkernel_rex")
 
 # (tag, gen kwargs, kernels)
 G = dict(distribution="normal", seed=14)
@@ -88,6 +89,12 @@ def main():
     if os.path.exists(CRASHES):
         with open(CRASHES) as fh:
             crash_skip = {tuple(l.strip().split("|")) for l in fh if "|" in l}
+    if os.path.exists(REX):
+        from collections import Counter
+        with open(REX) as fh:
+            cnt = Counter(tuple(l.strip().split("|")) for l in fh
+                          if "|" in l)
+        crash_skip |= {key for key, c in cnt.items() if c >= 2}
     cfg = BenchConfig(num_cols=512, min_time_s=0.25)
     for tag, p, kernels in JOBS:
         name = f"r3_{tag}"
@@ -130,6 +137,11 @@ def main():
                         fh.write(f"{name}|{kk}\n")
                     sys.exit(2)
                 if "RESOURCE_EXHAUSTED" in msg:
+                    # count attempts: a row that OOMs twice is genuinely
+                    # too big (not collateral poisoning) — quarantine it
+                    # so the retry budget isn't burned on one giant row
+                    with open(REX, "a") as fh:
+                        fh.write(f"{name}|{kk}\n")
                     sys.exit(2)
 
     # Short probe passes, same TPU process (one device owner at a time):
