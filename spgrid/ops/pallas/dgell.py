@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -123,23 +124,30 @@ class DeviceDGELL:
             self.tail_vals))
 
 
-def _kernel(cols_ref, vals_ref, x_ref, o_ref, scratch, sems, *, rb, S):
+def _kernel(cols_ref, vals_ref, x_ref, o_ref, scratch, sems, *, rb, S,
+            wave):
     b = pl.program_id(0)
     brow = b % 8
 
-    # launch every row fetch of this step: rb*S copies in flight
-    for j in range(rb * S):
-        pltpu.make_async_copy(
+    # Launch the rb*S row fetches in waves of `wave` copies sharing a
+    # small semaphore array: the full-fan-out variant (one semaphore per
+    # copy, 112+ sems live) crashed the Mosaic compiler (r4); waves keep
+    # the copies fully unrolled (a rolled fori_loop costs ~410ns/iter,
+    # unusable at ~100 copies/step) while bounding live semaphores.
+    def _copy(j):
+        return pltpu.make_async_copy(
             x_ref.at[pl.ds(cols_ref[brow, j], 1), :],
             scratch.at[pl.ds(j, 1), :],
-            sems.at[j],
-        ).start()
-    for j in range(rb * S):
-        pltpu.make_async_copy(
-            x_ref.at[pl.ds(cols_ref[brow, j], 1), :],
-            scratch.at[pl.ds(j, 1), :],
-            sems.at[j],
-        ).wait()
+            sems.at[j % wave],
+        )
+
+    total = rb * S
+    for w0 in range(0, total, wave):
+        wn = min(wave, total - w0)
+        for j in range(w0, w0 + wn):
+            _copy(j).start()
+        for j in range(w0, w0 + wn):
+            _copy(j).wait()
 
     # scratch rows [s*rb, (s+1)*rb) hold x[cols[:, s]] (slot-major):
     # reduce over slots on the VPU
@@ -149,8 +157,9 @@ def _kernel(cols_ref, vals_ref, x_ref, o_ref, scratch, sems, *, rb, S):
     o_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "S", "interpret"))
-def _dgell_call(cols, vals, x, *, rb, S, interpret):
+@functools.partial(jax.jit, static_argnames=("rb", "S", "wave",
+                                             "interpret"))
+def _dgell_call(cols, vals, x, *, rb, S, wave, interpret):
     nb = vals.shape[0] // rb
     n = x.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -160,15 +169,15 @@ def _dgell_call(cols, vals, x, *, rb, S, interpret):
             pl.BlockSpec((8, rb * S), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, 128), lambda b: (b, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((rb, n), lambda b: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((rb * S, n), jnp.float32),
-            pltpu.SemaphoreType.DMA((rb * S,)),
+            pltpu.SemaphoreType.DMA((wave,)),
         ],
     )
-    kernel = functools.partial(_kernel, rb=rb, S=S)
+    kernel = functools.partial(_kernel, rb=rb, S=S, wave=wave)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -187,7 +196,9 @@ def dgell_spmm(a: DeviceDGELL, x: jax.Array,
     m, k = a.shape
     n = x.shape[1]
     xf = x.astype(jnp.float32)
-    y = _dgell_call(a.cols, a.values, xf, rb=a.rb, S=a.slots,
+    wave = int(os.environ.get("SPGRID_DGELL_WAVE", "16"))
+    wave = max(1, min(wave, a.rb * a.slots))
+    y = _dgell_call(a.cols, a.values, xf, rb=a.rb, S=a.slots, wave=wave,
                     interpret=interpret)[:m]
     if a.tail_rows.shape[0]:
         gt = jnp.take(xf, a.tail_cols, axis=0,
