@@ -351,7 +351,13 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
     else:
         planes = (x,)
 
-    rb = _chunk_rows(m_pad, S, n, mode)
+    # adaptive budget: at giant m the operands themselves (X + Y + the
+    # scan-stacked output) already claim several GB of the 16GB HBM, and
+    # the fixed 3GB intermediate OOMed m=1M (r4 grid); shrink the
+    # gathered-intermediate budget by the resident operand bytes
+    resident = 2 * x.size * x.dtype.itemsize + m_pad * n * 4
+    rb = _chunk_rows(m_pad, S, n, mode,
+                     budget=max(_CHUNK_BUDGET - resident, 1 << 28))
     nb = -(-m_pad // rb)
     if nb * rb != m_pad:
         pad = nb * rb - m_pad
