@@ -31,6 +31,7 @@ but on 4x fewer groups.  Column indices stream as int8.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -223,15 +224,117 @@ def _spmv(piece_w, group_sub, cols, vals, x2, *, m2, interpret):
     )(piece_w, group_sub, cols, vals, x2)
 
 
+def _kernel_v2(pw_ref, gsub_ref, cols_ref, vals_ref, x2_ref, y2_ref,
+               acc, open_ref):
+    """Block-stationary accumulation (round-4 redesign, ROADMAP SpMV).
+
+    v1 pays, per 8-piece group, a sublane reduce plus a read-modify-write
+    of a dynamically-indexed y row — and consecutive groups of one target
+    block form a serial RMW chain on the same row.  The layout guarantees
+    a block's groups are CONTIGUOUS, so an (8, LANE) VMEM accumulator
+    carries partials across groups (and across grid steps — scratch
+    persists), flushing to y once per TARGET BLOCK (change of sub-row
+    detected via an SMEM "open block" cell)."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    brow = b % 8
+
+    @pl.when(b == 0)
+    def _():
+        y2_ref[:] = jnp.zeros_like(y2_ref)
+        acc[:] = jnp.zeros_like(acc)
+        open_ref[0] = jnp.int32(-1)
+
+    def body(g, _):
+        sr = gsub_ref[brow, g]
+        opn = open_ref[0]
+
+        @pl.when((sr != opn) & (opn >= 0))
+        def _():
+            y2_ref[pl.ds(opn, 1), :] += jnp.sum(acc[:], axis=0,
+                                                keepdims=True)
+            acc[:] = jnp.zeros_like(acc)
+
+        @pl.when(sr != opn)
+        def _():
+            open_ref[0] = sr
+
+        src = jnp.concatenate(
+            [x2_ref[pl.ds(pw_ref[brow, g * 8 + r], 1), :] for r in range(8)],
+            axis=0)
+        idx = cols_ref[pl.ds(g * 8, 8), :].astype(jnp.int32)
+        v = vals_ref[pl.ds(g * 8, 8), :]
+        acc[:] += jnp.take_along_axis(src, idx, axis=1) * v
+        return 0
+
+    jax.lax.fori_loop(0, GROUPS_PER_STEP, body, 0, unroll=GROUPS_PER_STEP)
+
+    @pl.when(b == nb - 1)
+    def _():
+        opn = open_ref[0]
+
+        @pl.when(opn >= 0)
+        def _():
+            y2_ref[pl.ds(opn, 1), :] += jnp.sum(acc[:], axis=0,
+                                                keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("m2", "interpret"))
+def _spmv_v2(piece_w, group_sub, cols, vals, x2, *, m2, interpret):
+    gp = cols.shape[0] // (8 * GROUPS_PER_STEP)
+    k2 = x2.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(gp,),
+        in_specs=[
+            pl.BlockSpec((8, 8 * GROUPS_PER_STEP), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, GROUPS_PER_STEP), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8 * GROUPS_PER_STEP, LANE), lambda b: (b, 0)),
+            pl.BlockSpec((8 * GROUPS_PER_STEP, LANE), lambda b: (b, 0)),
+            pl.BlockSpec((k2, LANE), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m2, LANE), lambda b: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((8, LANE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_v2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m2, LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cols.size,
+            bytes_accessed=cols.size * 5 + (k2 + m2) * LANE * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(piece_w, group_sub, cols, vals, x2)
+
+
 def wrow_spmv(a: DeviceWROW, x: jax.Array,
-              interpret: bool | None = None) -> jax.Array:
-    """y = A @ x; x (k,) -> y (m,)."""
+              interpret: bool | None = None,
+              variant: str | None = None) -> jax.Array:
+    """y = A @ x; x (k,) -> y (m,).
+
+    variant: "v1" (per-group RMW) or "v2" (block-stationary accumulator);
+    default from SPGRID_WROW_VARIANT, pending the r4 A/B probe
+    (scripts/exp_wrow_v2.py) — flip the default when the measurement
+    lands."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if variant is None:
+        variant = os.environ.get("SPGRID_WROW_VARIANT", "v1")
     m, k = a.shape
     k2 = max(-(-k // LANE), 1)
     x2 = jnp.zeros((k2 * LANE,), x.dtype).at[:k].set(x).reshape(k2, LANE)
     m2 = max(-(-m // LANE), 1)
-    y2 = _spmv(a.piece_w, a.group_sub, a.cols, a.values, x2, m2=m2,
-               interpret=interpret)
+    fn = _spmv_v2 if variant == "v2" else _spmv
+    y2 = fn(a.piece_w, a.group_sub, a.cols, a.values, x2, m2=m2,
+            interpret=interpret)
     return y2.reshape(-1)[:m].astype(x.dtype)

@@ -127,3 +127,21 @@ def test_wrow_empty_and_duplicate_structure():
     x = np.random.default_rng(1).random(200).astype(np.float32)
     y = np.asarray(wrow_spmv(dev, jnp.asarray(x)))
     np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_wrow_spmv_v2_matches_v1():
+    # r4 block-stationary variant (ops/pallas/wrow_spmv.py::_kernel_v2):
+    # same layout, accumulator carried across groups/steps, flushed per
+    # target block — must agree with v1 and the dense gold exactly
+    from spgrid.ops import DeviceWROW, wrow_spmv
+
+    for m, k, d, seed in ((300, 500, 0.02, 1), (260, 130, 0.08, 2),
+                          (64, 64, 0.2, 3)):
+        csr = random_csr(m, k, d, seed=seed)
+        dev = DeviceWROW.from_csr(csr)
+        x = np.random.default_rng(0).random(k).astype(np.float32)
+        y1 = np.asarray(wrow_spmv(dev, jnp.asarray(x), variant="v1"))
+        y2 = np.asarray(wrow_spmv(dev, jnp.asarray(x), variant="v2"))
+        np.testing.assert_allclose(y2, csr.to_dense() @ x, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-6)
