@@ -42,14 +42,19 @@ class V5eConstants:
     wcoo_slot: float = 1.7e-9      # aligned-slot stream cost per slot
     wcoo_nnz: float = 20e-9        # per-real-nnz VPU shuffle+FMA cost
     scoo_scatter: float = 12e-9    # in-place sorted scatter-add cost/entry
-                                   # (PLACEHOLDER until the r3 measurement
-                                   # lands; scoo stays out of AUTO until
-                                   # then — the wcoo_bands lesson)
+                                   # (r4: scoo measured on 7 grid rows,
+                                   # model medAPE 14% with the fitted
+                                   # fudge; stays out of AUTO because it
+                                   # LOSES its class head-to-heads)
     # per-format multiplicative corrections, refit from sweep CSVs
-    # (defaults: fit_constants over the committed round-2 spread sample
-    # + pallas smoke — medians of measured/predicted time per format)
+    # (r4: fit_constants over 348 committed v5e rows incl. the newkernels
+    # grid + skew rows — scripts/refit_costmodel.py output applied
+    # verbatim; medians of measured/predicted time per format)
     fudge: dict = dataclasses.field(default_factory=lambda: {
-        "gell": 1.11, "cv_gell": 0.81, "bsr_pallas": 0.88})
+        "gell": 1.297, "cv_gell": 0.921, "bsr_pallas": 0.914,
+        "dense": 0.206, "ell": 0.560, "gell16": 1.333, "merge": 0.899,
+        "panel_pallas": 0.652, "scoo": 1.140, "sell": 0.670,
+        "wcoo_bands": 0.969})
 
 
 C = V5eConstants()
@@ -306,14 +311,22 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
 
 
 # Default candidate set for f32-exact cost-based auto dispatch (CV modes
-# trade accuracy and are opted into explicitly).  wcoo_bands stays OUT
-# until its fill-aware slot model (_wcoo_bands_slots, calibrated on only
-# two anchors) is validated against the r3 newkernels-grid rows — same
-# admission bar as scoo (VERDICT r3 weak #4 / advisor r3).  Re-admit via
-# scripts/refit_costmodel.py once per-row model error is <=~30% across
-# the band-width range.
+# trade accuracy and are opted into explicitly).  Round-4 admissions,
+# decided on the newkernels grid + skew rows (newkernels_r3.csv) via
+# scripts/refit_costmodel.py validation tables:
+# - merge ADMITTED: model medAPE 10.1% (6 rows); wins every skew row
+#   (37.1 vs gell's 21.2 GF at skew=1e5 — the mawi-class regime the
+#   reference covers with merge-based SpMV, spmv_kernel_merge.cpp:61-65).
+# - sell ADMITTED: wins scat_393k (34.7 GF, best f32-exact row of the
+#   class) and the mid-density medium-study head-to-head (44.5 vs 28.1);
+#   medAPE 33% pre-refit, re-centered by the fitted 0.670 fudge.
+# - scoo stays OUT: measured (7 rows) and loses every head-to-head in
+#   its target class (11-27 GF vs sell/merge/gell 28-37).
+# - wcoo_bands stays OUT: fill-aware slot model FAILS validation
+#   (medAPE 44.6%, p90 143% across the bw range — far over the ~30%
+#   admission bar; see refit output).
 AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
-                   "coo")
+                   "coo", "merge", "sell")
 
 
 def prediction_records(df) -> list:

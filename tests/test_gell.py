@@ -102,9 +102,13 @@ def test_cost_model_regime_picks():
     assert select_format(matrix_features(small_dense), 512) in (
         "dense", "bsr_pallas", "panel_pallas")
 
+    # scattered hypersparse: the r4 grid measured merge 35.9 / sell 34.7
+    # / gell 34.3 GF as statistical equals on this regime (newkernels_r3
+    # skew10/scat rows) — any of the three is a correct pick
     hyper = artificial_matrix_generation(
         60000, 60000, 5, 1.7, "normal", seed=14, placement="random", bw=0.9)
-    assert select_format(matrix_features(hyper), 512) == "gell"
+    assert select_format(matrix_features(hyper), 512) in (
+        "gell", "merge", "sell")
 
     # SpMV routing unchanged
     assert select_format(matrix_features(hyper), 1) == "wrow_spmv"
