@@ -21,6 +21,20 @@ Why another scattered kernel (vs gell / scoo):
 Layout: plain ELL slots (rows padded to ``slots``; heavier rows spill
 to a COO tail combined on the XLA side), cols SMEM-blocked per step,
 values VMEM-blocked, X left in ANY (HBM).
+
+ROUND-4 STATUS — BLOCKED BY THE TOOLCHAIN, kept for the record: every
+TPU compile of this kernel (full fan-out AND the bounded-wave variant)
+crashes the remote Mosaic compile helper (HTTP 500, tpu_compile_helper
+exit 1), as does the MINIMAL per-row dynamic-offset DMA pattern in
+scripts/exp_pallas_gather.py at both G=64 and G=256 — the construct
+itself, not its size, is what the toolchain rejects.  Quarantined from
+the measurement grid (.newkernel_crashes).  The class analysis moved
+on: exp_colchunk_gather.py measured XLA's big-source gather at 240GB/s
+round-trip (58.7 Mrow/s on 2KB rows from a 1GB source), so the r3
+"64MB cliff" does not bind at study scale and the scattered class is
+bound by the gather intermediate round-trip, not the gather rate.
+Interpret-mode tests keep the kernel logic alive for a future
+toolchain that accepts the DMA pattern.
 """
 
 from __future__ import annotations
