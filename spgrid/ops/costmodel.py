@@ -278,6 +278,17 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
             return math.inf
         return _fudged(fmt, _dense_time(f, n, C.mxu_f32)) + C.dispatch
     if fmt in ("bsr_pallas", "bsr"):
+        # occupied blocks materialize DENSELY (128x128x4B each): a
+        # scattered 137k-row matrix occupies ~nnz blocks -> ~190GB and
+        # the conversion wedges the host (r4 medium-study stall) — the
+        # format is inapplicable long before the time model says slow
+        mb = max(f.m / 128.0, 1.0)
+        kb = max(f.n / 128.0, 1.0)
+        band_kb = min(kb, (f.avg_bw + 256.0) / 128.0)
+        cand = mb * band_kb
+        occ = cand * (1.0 - math.exp(-f.nnz / max(cand, 1e-9)))
+        if occ * 128 * 128 * 4 > (1 << 31):
+            return math.inf
         return _fudged(fmt, _bsr_time(f, n)) + C.dispatch
     if fmt in ("panel_pallas", "cv_panel"):
         est_panel_bytes = min(1.0, f.density * 2048 * 128) * f.m * f.n * 4
