@@ -40,10 +40,14 @@ def main():
     # prefer the full study; fall back to the committed medium slices
     # (r2 vintage, same schema) so the analysis runs on whatever medium
     # rows exist rather than requiring the complete 500-matrix study
+    # r4auto first: re-measured auto rows under the round-4 dispatch
+    # (merge/sell admitted) take precedence over stale pre-admission
+    # auto rows for the same matrix in the older CSVs
     paths = [os.path.join(RES, p) for p in
-             ("medium_study.csv", "medium_slice_auto.csv",
-              "medium_spread_auto.csv", "medium_spread_r2.csv",
-              "medium_spread_r2_refresh.csv")]
+             ("medium_study_r4auto.csv", "medium_study.csv",
+              "medium_slice_auto.csv", "medium_spread_auto.csv",
+              "medium_spread_r2.csv", "medium_spread_r2_refresh.csv",
+              "medium_spread_r3_refresh.csv")]
     frames = [pd.read_csv(p) for p in paths if os.path.exists(p)]
     if not frames:
         print("no medium rows yet"); return
