@@ -222,3 +222,29 @@ def test_gell_bf16_wideband_window():
     y = np.asarray(gell_spmm(ab, jnp.asarray(x)), np.float64)
     m = error_metrics(_gold(csr, x), y, epsilon=1e-4)
     assert m.mape < 5e-2, m.mape
+
+
+def test_bsr_inapplicable_when_blocks_would_materialize_huge():
+    """r4 regression: a scattered mid-density 137k-row matrix occupies
+    ~nnz 128x128 blocks (~190GB dense) and the conversion wedged the
+    host for 10 minutes before the cost-model gate existed.  The
+    estimate must be inf for that shape and stay finite for banded
+    matrices whose occupied blocks actually fit."""
+    import math
+
+    from spgrid.features.structural import matrix_features
+    from spgrid.ops.costmodel import estimate_spmm_time
+
+    scat = artificial_matrix_generation(
+        40000, 40000, 20, 6.7, "normal", seed=14, placement="random",
+        bw=0.6, avg_num_neighbours=0.05, cross_row_similarity=0.5)
+    f = matrix_features(scat)
+    import dataclasses
+    f_big = dataclasses.replace(f, m=137518, n=137518, nnz=2886435)
+    assert math.isinf(estimate_spmm_time(f_big, "bsr_pallas", 512))
+
+    banded = artificial_matrix_generation(
+        8192, 8192, 60, 20, "normal", seed=14, placement="diagonal",
+        bw=0.02)
+    assert math.isfinite(
+        estimate_spmm_time(matrix_features(banded), "bsr_pallas", 512))
