@@ -13,29 +13,19 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np  # noqa: E402
-
 from spgrid.bench.schema import CSVWriter  # noqa: E402
 from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
-from spgrid.gen.params import read_param_file  # noqa: E402
 
-from run_medium_study import MAX_ROWS, OUT, PARAMS, TARGET  # noqa: E402
+from run_medium_study import OUT, param_name, selected_params  # noqa: E402
 
 
 def main():
     t0 = time.time()
     max_s = float(os.environ.get("PREWARM_MAX_S", 7200))
-    params = [p for p in read_param_file(PARAMS) if p.nr_rows <= MAX_ROWS]
-    stride = max(1, len(params) // TARGET)
-    params = params[::stride]
-    params = [params[i] for i in
-              np.random.default_rng(0).permutation(len(params))]
+    params, _ = selected_params()
     done = CSVWriter(OUT).done_keys()
     for i, p in enumerate(params):
-        name = (f"art_{p.nr_rows}_{p.nr_cols}_{p.avg_nnz_per_row:g}_"
-                f"{p.std_nnz_per_row:g}_{p.distribution}_{p.placement}_"
-                f"{p.bw:g}_{p.skew:g}_{p.avg_num_neighbours:g}_"
-                f"{p.cross_row_similarity:g}_{p.seed}")
+        name = param_name(p)
         if (name, "auto", "512") in done:
             continue
         if time.time() - t0 > max_s:

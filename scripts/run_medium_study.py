@@ -42,6 +42,29 @@ PORTFOLIO_EVERY = 4
 
 
 CRASHES = os.path.join(os.path.dirname(OUT), ".medium_crashes")
+REX = os.path.join(os.path.dirname(OUT), ".medium_rex")
+
+
+def param_name(p) -> str:
+    """Canonical matrix name for a param line — shared with the cache
+    prewarmer (ADVICE r4: one copy, or the prewarm desynchronizes)."""
+    return (f"art_{p.nr_rows}_{p.nr_cols}_{p.avg_nnz_per_row:g}_"
+            f"{p.std_nnz_per_row:g}_{p.distribution}_{p.placement}_"
+            f"{p.bw:g}_{p.skew:g}_{p.avg_num_neighbours:g}_"
+            f"{p.cross_row_similarity:g}_{p.seed}")
+
+
+def selected_params():
+    """The study's stratified + seeded-shuffled matrix list (shared with
+    the prewarmer).  A PREFIX of the factorial enumeration is biased
+    toward the outermost factor; after shuffling, any prefix is a uniform
+    sample (resume is by name, so the order is free)."""
+    params = [p for p in read_param_file(PARAMS) if p.nr_rows <= MAX_ROWS]
+    stride = max(1, len(params) // TARGET)
+    params = params[::stride]
+    import numpy as _np
+    return [params[i] for i in
+            _np.random.default_rng(0).permutation(len(params))], stride
 
 
 def main():
@@ -51,16 +74,15 @@ def main():
     if os.path.exists(CRASHES):
         with open(CRASHES) as fh:
             crash_skip = {tuple(l.strip().split("|")) for l in fh if "|" in l}
-    params = [p for p in read_param_file(PARAMS) if p.nr_rows <= MAX_ROWS]
-    stride = max(1, len(params) // TARGET)
-    params = params[::stride]
-    # seeded shuffle: the wall budget cuts the list short, and a PREFIX
-    # of the factorial enumeration is systematically biased toward the
-    # outermost factor; after shuffling, any prefix is a uniform sample
-    # (resume is by name, so the order is free)
-    import numpy as _np
-    params = [params[i] for i in
-              _np.random.default_rng(0).permutation(len(params))]
+    if os.path.exists(REX):
+        # two-strike OOM quarantine (ADVICE r4): a matrix that
+        # deterministically RESOURCE_EXHAUSTs would otherwise be retried
+        # on every restart, burning the retry wrapper's budget in a loop
+        from collections import Counter
+        with open(REX) as fh:
+            cnt = Counter(tuple(l.strip().split("|")) for l in fh if "|" in l)
+        crash_skip |= {key for key, c in cnt.items() if c >= 2}
+    params, stride = selected_params()
     print(f"{len(params)} matrices (stride {stride}, shuffled)", flush=True)
     writer = CSVWriter(OUT)
     done = writer.done_keys()
@@ -69,10 +91,7 @@ def main():
         kernels = ["auto"]
         if i % PORTFOLIO_EVERY == 0:
             kernels += list(PORTFOLIO)
-        name = (f"art_{p.nr_rows}_{p.nr_cols}_{p.avg_nnz_per_row:g}_"
-                f"{p.std_nnz_per_row:g}_{p.distribution}_{p.placement}_"
-                f"{p.bw:g}_{p.skew:g}_{p.avg_num_neighbours:g}_"
-                f"{p.cross_row_similarity:g}_{p.seed}")
+        name = param_name(p)
         todo = [kk for kk in kernels if (name, kk, "512") not in done]
         if not todo:
             continue
@@ -133,6 +152,10 @@ def main():
                         fh.write(f"{name}|{kk}\n")
                     sys.exit(2)
                 if "RESOURCE_EXHAUSTED" in msg:
+                    # count attempts: a row that OOMs twice is genuinely
+                    # too big, not collateral poisoning — quarantine it
+                    with open(REX, "a") as fh:
+                        fh.write(f"{name}|{kk}\n")
                     sys.exit(2)
 
 

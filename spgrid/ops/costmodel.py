@@ -66,9 +66,15 @@ def _dense_time(f: MatrixFeatures, n: int, flops_rate: float) -> float:
     return max(flops / flops_rate, bytes_ / C.eff_bw)
 
 
-def _bsr_time(f: MatrixFeatures, n: int) -> float:
-    """128x128-block Pallas kernel: per occupied block one x-tile DMA +
-    one (128,128)@(128,n) matmul + a grid step."""
+def _bsr_occupied_blocks(f: MatrixFeatures) -> float:
+    """Estimated occupied 128x128 blocks — shared by _bsr_time and the
+    bsr applicability gate (ADVICE r4: one copy, not two that drift).
+
+    Base model: Poisson fill over the band's candidate blocks.  Clustering
+    cap (ADVICE r4): uniform fill overestimates occupancy for clustered
+    structure — entries arrive in ~(1+avg_num_neighbours)-long column
+    segments repeated over ~1/(1-crs) adjacent rows, so each occupied
+    block expects at least that many entries; occupied <= nnz / that."""
     mb = max(f.m / 128.0, 1.0)
     kb = max(f.n / 128.0, 1.0)
     # blocks that can hold nnz: banded matrices restrict to the band
@@ -76,6 +82,16 @@ def _bsr_time(f: MatrixFeatures, n: int) -> float:
     cand = mb * band_kb
     lam = f.nnz / max(cand, 1e-9)          # nnz per candidate block
     occ = cand * (1.0 - math.exp(-lam / 1.0))
+    seg = 1.0 + max(f.avg_num_neighbours, 0.0)
+    run = 1.0 / max(1.0 - min(f.cross_row_similarity, 1.0), 1.0 / 128.0)
+    per_occ = max(1.0, lam, min(seg, 128.0) * min(run, 128.0))
+    return min(occ, f.nnz / per_occ)
+
+
+def _bsr_time(f: MatrixFeatures, n: int) -> float:
+    """128x128-block Pallas kernel: per occupied block one x-tile DMA +
+    one (128,128)@(128,n) matmul + a grid step."""
+    occ = _bsr_occupied_blocks(f)
     per_block = max(
         128.0 * n * 4 / C.eff_bw,          # x-tile DMA
         2.0 * 128 * 128 * n / C.mxu_f32,   # f32 block matmul
@@ -282,12 +298,7 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
         # scattered 137k-row matrix occupies ~nnz blocks -> ~190GB and
         # the conversion wedges the host (r4 medium-study stall) — the
         # format is inapplicable long before the time model says slow
-        mb = max(f.m / 128.0, 1.0)
-        kb = max(f.n / 128.0, 1.0)
-        band_kb = min(kb, (f.avg_bw + 256.0) / 128.0)
-        cand = mb * band_kb
-        occ = cand * (1.0 - math.exp(-f.nnz / max(cand, 1e-9)))
-        if occ * 128 * 128 * 4 > (1 << 31):
+        if _bsr_occupied_blocks(f) * 128 * 128 * 4 > (1 << 31):
             return math.inf
         return _fudged(fmt, _bsr_time(f, n)) + C.dispatch
     if fmt in ("panel_pallas", "cv_panel"):

@@ -37,9 +37,10 @@ from spgrid.ops.scoo import DeviceSCOO, scoo_spmm
 from spgrid.ops.pallas.dgell import DeviceDGELL, dgell_spmm
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
-           "ell", "coo", "csc", "ldu", "cv_bf16", "cv_int8", "cv_panel",
-           "wcoo_pallas", "wcoo_bands", "wcoo_spmv", "wrow_spmv",
-           "gell", "gell16", "cv_gell", "merge", "scoo", "dgell")
+           "ell", "sell", "coo", "csc", "ldu", "cv_bf16", "cv_int8",
+           "cv_panel", "wcoo_pallas", "wcoo_bands", "wcoo_spmv",
+           "wrow_spmv", "gell", "gell16", "cv_gell", "merge",
+           "scoo", "dgell")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -181,7 +182,7 @@ class AutotuneResult:
 def autotune_spmm(
     csr: CSRMatrix,
     x: jax.Array,
-    candidates=("dense", "bsr_pallas", "panel_pallas", "ell", "coo"),
+    candidates=None,
     *,
     warmup_iters: int = 3,
     min_time_s: float = 0.05,
@@ -189,10 +190,25 @@ def autotune_spmm(
     dense_limit: int = 1 << 26,
 ) -> AutotuneResult:
     """Measure each candidate and return the fastest (ref methodology:
-    empirical kernel x matrix sweeps; here condensed to a per-matrix tune)."""
+    empirical kernel x matrix sweeps; here condensed to a per-matrix tune —
+    the inspector-executor discipline of mkl_sparse_optimize,
+    spmm_kernel_mkl_ie.cpp:75-104).
+
+    Candidates default to the cost model's AUTO_CANDIDATES (r4 admissions:
+    gell/merge/sell included) so measured dispatch can pick every kernel
+    cost-based dispatch can; inapplicable formats (cost model +inf — e.g.
+    dense at 256GB, bsr with densifying blocks) are skipped, not timed."""
+    from spgrid.ops.costmodel import AUTO_CANDIDATES, estimate_spmm_time
+    if candidates is None:
+        candidates = AUTO_CANDIDATES
+    feats = matrix_features(csr)
+    n_cols = x.shape[1] if x.ndim == 2 else 1
     times: Dict[str, float] = {}
     for fmt in candidates:
         if fmt == "dense" and csr.m * csr.k > dense_limit:
+            times[fmt] = float("inf")
+            continue
+        if not np.isfinite(estimate_spmm_time(feats, fmt, n_cols)):
             times[fmt] = float("inf")
             continue
         try:

@@ -31,7 +31,6 @@ but on 4x fewer groups.  Column indices stream as int8.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -319,17 +318,16 @@ def _spmv_v2(piece_w, group_sub, cols, vals, x2, *, m2, interpret):
 
 def wrow_spmv(a: DeviceWROW, x: jax.Array,
               interpret: bool | None = None,
-              variant: str | None = None) -> jax.Array:
+              variant: str = "v1") -> jax.Array:
     """y = A @ x; x (k,) -> y (m,).
 
-    variant: "v1" (per-group RMW) or "v2" (block-stationary accumulator);
-    default from SPGRID_WROW_VARIANT, pending the r4 A/B probe
-    (scripts/exp_wrow_v2.py) — flip the default when the measurement
-    lands."""
+    variant: "v1" (per-group RMW, default) or "v2" (block-stationary
+    accumulator).  The r4 A/B (scripts/exp_wrow_v2.py, probes_r3.log)
+    measured v2 at 7x slower — v1 is the explicit default; callers that
+    want v2 pass it, so benchmark provenance lives in the call site, not
+    an env var (ADVICE r4)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if variant is None:
-        variant = os.environ.get("SPGRID_WROW_VARIANT", "v1")
     m, k = a.shape
     k2 = max(-(-k // LANE), 1)
     x2 = jnp.zeros((k2 * LANE,), x.dtype).at[:k].set(x).reshape(k2, LANE)
