@@ -190,6 +190,7 @@ KERNELS = {
     "scoo": "scoo",                # column-windowed COO (scattered hypersparse)
     "sell": "sell",                # SELL-C-sigma (sigma-sorted sliced ELL)
     "dgell": "dgell",              # DMA-gather ELL (scattered hypersparse)
+    "rbh": "rbh",                  # reorder-block hybrid (MKL-IE regime)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
     "autotune": None,              # measured dispatch (inspector-executor

@@ -82,6 +82,42 @@ def rcm(csr: CSRMatrix) -> CSRMatrix:
     return permute(csr, rcm_order(csr))
 
 
+def first_use_col_order(csr: CSRMatrix) -> np.ndarray:
+    """Column permutation by first appearance in row-major nnz order.
+
+    Scanning rows top-down, each new column is appended at the frontier;
+    columns reused only by nearby rows (high cross_row_similarity — the
+    scattered-hypersparse class) therefore land near all their users and
+    the permuted matrix becomes near-banded.  Returns ``perm`` with
+    perm[j] = OLD column placed at new position j (cf. ``permute``).
+
+    Reference counterpart: the structure-inspection step of
+    mkl_sparse_optimize (spmm_kernel_mkl_ie.cpp:75-104) and the
+    mat_reorder pass family (validation_matrices/matrix_features)."""
+    uniq, first_idx = np.unique(csr.col_idx, return_index=True)
+    seen = uniq[np.argsort(first_idx, kind="stable")]
+    if len(seen) == csr.k:
+        return seen.astype(np.int64)
+    unseen = np.setdiff1d(np.arange(csr.k, dtype=np.int64), uniq,
+                          assume_unique=False)
+    return np.concatenate([seen.astype(np.int64), unseen])
+
+
+def centroid_col_order(csr: CSRMatrix) -> np.ndarray:
+    """Column permutation by mean row index of each column's nnz.
+
+    Places every column at the centroid of its users instead of the first
+    (first_use_col_order) — better when a column's run of users starts
+    late or spans a window.  Columns with no nnz sort last."""
+    rows = np.repeat(np.arange(csr.m, dtype=np.int64), csr.degrees)
+    sums = np.zeros(csr.k, dtype=np.float64)
+    cnts = np.zeros(csr.k, dtype=np.int64)
+    np.add.at(sums, csr.col_idx, rows)
+    np.add.at(cnts, csr.col_idx, 1)
+    centroid = np.where(cnts > 0, sums / np.maximum(cnts, 1), float(csr.m))
+    return np.argsort(centroid, kind="stable").astype(np.int64)
+
+
 def degree_sort_order(csr: CSRMatrix, descending: bool = True) -> np.ndarray:
     d = csr.degrees
     return np.argsort(-d if descending else d, kind="stable")

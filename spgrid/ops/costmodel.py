@@ -280,6 +280,29 @@ def _sell_time(f: MatrixFeatures, n: int) -> float:
     return slots / rate         + (slots * n * 4.0 + 3.0 * f.m * n * 4.0) / C.combine_bw
 
 
+def _rbh_time(f: MatrixFeatures, n: int) -> float:
+    """Reorder-block hybrid (ops/rbh.py): per-call X column-perm gather +
+    MXU block passes over the clustered fraction + gather residual.
+
+    Clusterability model: columns are reused down ~run = 1/(1-crs)
+    adjacent rows, so after column reordering a 128-row block packs
+    ~128*min(avg, run) nnz per occupied 128x128 block; the residual is
+    the non-local reuse tail, ~ (1 - crs) of the nnz.  Constants are a
+    prior — refit from measured reorder_rbh.csv rows before AUTO
+    admission (the wcoo_bands lesson: never admit unmeasured)."""
+    run = 1.0 / max(1.0 - min(f.cross_row_similarity, 0.999), 1.0 / 128.0)
+    c = 128.0 * min(max(f.avg_nnz_per_row, 1.0), run)
+    hi_frac = min(1.0, 1.2 * f.cross_row_similarity)
+    hi_blocks = hi_frac * f.nnz / max(c, 1.0)
+    per_block = max(128.0 * n * 4 / C.eff_bw,
+                    2.0 * 128 * 128 * n / C.mxu_f32) + C.grid_step
+    perm = f.n / C.gather_slow if f.n * n * 4 > (1 << 26) \
+        else f.n / C.gather_fast
+    res = (1.0 - hi_frac) * f.nnz * 29e-9 * (n / 512.0)
+    stream = f.m * n * 4.0 / C.eff_bw
+    return perm + hi_blocks * per_block + res + stream
+
+
 def _fudged(fmt: str, t: float) -> float:
     return t * C.fudge.get(fmt, 1.0)
 
@@ -329,6 +352,13 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
         return _fudged(fmt, _merge_time(f, n)) + C.dispatch
     if fmt == "sell":
         return _fudged(fmt, _sell_time(f, n)) + C.dispatch
+    if fmt == "rbh":
+        # densified-block budget: the hybrid caps itself at 2GB of blocks
+        # (rbh.MAX_HI_BLOCKS), so it is always *runnable*; inapplicable
+        # only where there is nothing to cluster (no reuse signal)
+        if f.cross_row_similarity <= 0.0 and f.avg_num_neighbours <= 0.0:
+            return math.inf
+        return _fudged(fmt, _rbh_time(f, n)) + C.dispatch
     return math.inf
 
 

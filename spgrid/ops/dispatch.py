@@ -35,12 +35,13 @@ from spgrid.ops.gell import DeviceGELL, gell_spmm
 from spgrid.ops.merge import DeviceMerge, merge_spmm
 from spgrid.ops.scoo import DeviceSCOO, scoo_spmm
 from spgrid.ops.pallas.dgell import DeviceDGELL, dgell_spmm
+from spgrid.ops.rbh import DeviceRBH, rbh_spmm
 
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "sell", "coo", "csc", "ldu", "cv_bf16", "cv_int8",
            "cv_panel", "wcoo_pallas", "wcoo_bands", "wcoo_spmv",
            "wrow_spmv", "gell", "gell16", "cv_gell", "merge",
-           "scoo", "dgell")
+           "scoo", "dgell", "rbh")
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
@@ -125,6 +126,11 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         # column-windowed COO: every gather source stays under the ~64MB
         # rate cliff even when the structure is scattered (ops/scoo.py)
         return DeviceSCOO.from_csr(csr)
+    if fmt == "rbh":
+        # reorder-block hybrid: column-cluster reorder into MXU block
+        # tiles + gather residual (ops/rbh.py; the MKL-IE structure-reuse
+        # regime, spmm_kernel_mkl_ie.cpp:75-104)
+        return DeviceRBH.from_csr(csr)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -153,6 +159,7 @@ def spmm_fn(fmt: str) -> Callable:
         "merge": merge_spmm,
         "scoo": scoo_spmm,
         "dgell": dgell_spmm,
+        "rbh": rbh_spmm,
     }[fmt]
 
 
