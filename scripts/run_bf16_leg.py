@@ -41,7 +41,37 @@ JOBS = [
     # scattered hypersparse
     ("scat_131k", dict(m=131072, avg=6, std=2, placement="random",
                        bw=0.9, skew=0, neigh=0.9, crs=0.3),
+     ["gell", "merge", "sell", "rbh"]),
+    # ---- r5 widening (VERDICT r4 item 6: the bf16 axis had essentially
+    # no evidence breadth — >=30 rows across >=10 matrices, every kernel
+    # family) ----
+    ("scat_393k", dict(m=393215, avg=5, std=1.6667, placement="random",
+                       bw=0.5, skew=0, neigh=0.5, crs=0.75),
+     ["gell", "sell", "rbh"]),
+    ("band_229k", dict(m=229375, avg=5, std=1.6667, placement="random",
+                       bw=0.05, skew=0, neigh=0.05, crs=0.95),
+     ["gell", "sell", "merge"]),
+    ("skew1k_131k", dict(m=131072, avg=6, std=2, placement="random",
+                         bw=0.9, skew=1000, neigh=0.9, crs=0.3),
+     ["merge", "gell"]),
+    ("wideband_196k", dict(m=196608, avg=6, std=2, placement="diagonal",
+                           bw=0.3, skew=0, neigh=0.3, crs=0.5),
+     ["gell", "wcoo_bands"]),
+    ("giant_band_1m", dict(m=1048576, avg=5, std=1.6667,
+                           placement="diagonal", bw=0.02, skew=0,
+                           neigh=0.02, crs=0.5),
      ["gell"]),
+    ("dense_7k_a100", dict(m=7838, avg=100, std=33.3333,
+                           placement="random", bw=0.6, skew=100,
+                           neigh=0.5, crs=0.5),
+     ["dense", "sell", "merge"]),
+    ("dense_2k_d20pct", dict(m=2445, avg=500, std=150, placement="random",
+                             bw=0.6, skew=3.9, neigh=0.5, crs=0.5),
+     ["dense", "bsr_pallas", "panel_pallas"]),
+    ("scirc_twin", dict(m=170998, avg=5.60788, std=4.39216,
+                        placement="random", bw=0.29725, skew=61.94716,
+                        neigh=0.80336, crs=0.63302),
+     ["gell", "rbh"]),
 ]
 
 
@@ -77,6 +107,33 @@ def main():
                       flush=True)
                 if "RESOURCE_EXHAUSTED" in str(e):
                     sys.exit(2)
+
+    # one bf16 attention-pipeline row (the flagship bench on the dtype
+    # where the MXU's 198 TFLOPS lives)
+    name = "bf16_pipeline_dlmc4096_band_and_random_sp0.95"
+    if (name, "pipeline_pallas", "512") not in done:
+        from spgrid.bench.harness import run_pipeline
+        cfg = BenchConfig(num_cols=512, dtype="bfloat16", sparsity=0.95,
+                          sparse_attention_type="band_and_random",
+                          band_size=None, min_time_s=0.3)
+
+        def _weight(seed):
+            return artificial_matrix_generation(
+                512, 512, 256, 32, "normal", seed, "random", 1.0, 0,
+                0.05, 0.05, name=f"bf16_w{seed}")
+
+        try:
+            row = run_pipeline(_weight(1), _weight(2), _weight(3),
+                               config=cfg)
+            row.matrix_name = name
+            row.kernel = "pipeline_pallas"
+            writer.write(row)
+            print(f"{name}: total {row.gflops:.0f} "
+                  f"passed={row.errors_passed}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
+            if "RESOURCE_EXHAUSTED" in str(e):
+                sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -178,6 +178,7 @@ KERNELS = {
     "wcoo_pallas": "wcoo_pallas",  # lane-gather windowed-COO Pallas kernel
     "wcoo_spmv": "wcoo_spmv",      # fused aligned-slot SpMV (n=1, banded)
     "wrow_spmv": "wrow_spmv",      # window-row packed SpMV (n=1, scattered)
+    "wpack_spmv": "wpack_spmv",    # multi-row packed SpMV (n=1, gen-4)
     "csc": "csc",                  # column-major scatter (MKL CSC analogue)
     "ldu": "ldu",                  # face-list LDU (OpenFOAM; symmetric pattern)
     "cv_bf16": "cv_bf16",          # compressed-value bf16

@@ -31,6 +31,7 @@ from spgrid.ops.pallas.wcoo_spmm_aligned import DeviceWCOOBands, \
     wcoo_spmm_aligned
 from spgrid.ops.pallas.wcoo_spmv import DeviceWCOOAligned, wcoo_spmv
 from spgrid.ops.pallas.wrow_spmv import DeviceWROW, wrow_spmv
+from spgrid.ops.pallas.wpack_spmv import DeviceWPACK, wpack_spmv
 from spgrid.ops.gell import DeviceGELL, gell_spmm
 from spgrid.ops.merge import DeviceMerge, merge_spmm
 from spgrid.ops.scoo import DeviceSCOO, scoo_spmm
@@ -40,7 +41,7 @@ from spgrid.ops.rbh import DeviceRBH, rbh_spmm
 FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
            "ell", "sell", "coo", "csc", "ldu", "cv_bf16", "cv_int8",
            "cv_panel", "wcoo_pallas", "wcoo_bands", "wcoo_spmv",
-           "wrow_spmv", "gell", "gell16", "cv_gell", "merge",
+           "wrow_spmv", "wpack_spmv", "gell", "gell16", "cv_gell", "merge",
            "scoo", "dgell", "rbh")
 
 
@@ -108,6 +109,8 @@ def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,
         return DeviceWCOOAligned.from_csr(csr)
     if fmt == "wrow_spmv":
         return DeviceWROW.from_csr(csr)
+    if fmt == "wpack_spmv":
+        return DeviceWPACK.from_csr(csr)
     if fmt == "gell":
         # exact f32; gathers through band windows when the structure is
         # column-local (the XLA gather runs ~4-5x faster from <64MB srcs)
@@ -153,6 +156,7 @@ def spmm_fn(fmt: str) -> Callable:
         "wcoo_bands": wcoo_spmm_aligned,
         "wcoo_spmv": _wcoo_spmv_2d,
         "wrow_spmv": _wrow_spmv_2d,
+        "wpack_spmv": _wpack_spmv_2d,
         "gell": gell_spmm,
         "gell16": gell_spmm,
         "cv_gell": gell_spmm,
@@ -166,6 +170,17 @@ def spmm_fn(fmt: str) -> Callable:
 def _wcoo_spmv_2d(a, x):
     """Bench adapter: the fused SpMV kernel on a (k, 1) dense operand."""
     y = wcoo_spmv(a, x[:, 0] if x.ndim == 2 else x)
+    return y[:, None] if x.ndim == 2 else y
+
+
+def _wpack_spmv_2d(a, x):
+    """Bench adapter: multi-row packed SpMV on a (k, 1) dense operand.
+
+    SpMV-only — a wider operand would silently drop columns."""
+    if x.ndim == 2 and x.shape[1] != 1:
+        raise ValueError("wpack_spmv is an SpMV kernel (n must be 1); "
+                         f"got n={x.shape[1]}")
+    y = wpack_spmv(a, x[:, 0] if x.ndim == 2 else x)
     return y[:, None] if x.ndim == 2 else y
 
 

@@ -219,6 +219,10 @@ _PLANES = {"split16": 2, "split24": 3, "bf16": 1, "f32": 2}
 
 
 _CHUNK_BUDGET = 3 << 30     # bytes of gathered intermediate per chunk
+_PER_WIN_CONVERT_BUDGET = 6 << 30   # resident bytes above which the
+                                    # windowed bf16/split16 paths convert
+                                    # per window slice instead of
+                                    # materializing a full derived source
 
 
 def _chunk_rows(m_pad: int, slots: int, n: int, mode: str,
@@ -291,7 +295,18 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
             use_win = use_win and (n & (n - 1)) == 0
     if use_win:
         nb, rbw, span = win_plan
-        if mode == "f32":
+        # adaptive source materialization (r5, VERDICT r4 item 7): the
+        # derived bf16/[hi|lo] source is a full-size copy next to X; at
+        # giant m the residents (X + stacked scan output + y) already
+        # claim most of HBM and the extra copy OOMed cv_gell at 1M rows
+        # (r3_giant_band_1m REX).  Above the budget, slice the f32 X per
+        # window block and convert the slice instead — no full-size copy,
+        # same math (the plane split is elementwise).
+        resident = x.size * x.dtype.itemsize + m_pad * n * 8
+        per_win_convert = mode in ("bf16", "split16") \
+            and resident + x.size * 2 * _PLANES[mode] \
+            > _PER_WIN_CONVERT_BUDGET
+        if mode == "f32" or per_win_convert:
             src = x
         elif mode == "bf16":
             src = x.astype(jnp.bfloat16)
@@ -304,11 +319,19 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
             # full rate with negligible flop cost
             hi, lo = _split_planes(x, 2)
             src = jnp.concatenate([hi, lo], axis=1)
-        w = src.shape[1]
+        w = n if mode in ("f32", "bf16") else 2 * n
 
         def body(_, blk):
             cl, vl, base = blk
-            xw = jax.lax.dynamic_slice(src, (base, 0), (span, w))
+            if per_win_convert:
+                xf = jax.lax.dynamic_slice(x, (base, 0), (span, n))
+                if mode == "bf16":
+                    xw = xf.astype(jnp.bfloat16)
+                else:
+                    hi, lo = _split_planes(xf, 2)
+                    xw = jnp.concatenate([hi, lo], axis=1)
+            else:
+                xw = jax.lax.dynamic_slice(src, (base, 0), (span, w))
             g = jnp.take(xw, cl.reshape(-1), axis=0)
             if mode in ("bf16", "split16"):
                 # values split into 2 bf16 planes (8 mantissa bits each):
@@ -338,6 +361,18 @@ def _gell_spmm(cols, vals, trows, tcols, tvals, wcols, wvals, wbases, x, *,
 
         _, ys = jax.lax.scan(body, 0, (wcols, wvals, wbases))
         y = ys.reshape(nb * rbw, n)[:m]
+        if per_win_convert and trows.shape[0]:
+            # tail rows: gather from f32 X then quantize, matching the
+            # window path's representation (there is no full-size src)
+            xt = jnp.take(x, tcols, axis=0)
+            if mode == "bf16":
+                tail_g = (xt.astype(jnp.bfloat16),)
+            else:
+                hi, lo = _split_planes(xt, 2)
+                tail_g = (jnp.concatenate([hi, lo], axis=1),)
+            ident = jnp.arange(xt.shape[0], dtype=jnp.int32)
+            return _add_tail(y, trows, ident, tvals, tail_g, m, n) \
+                .astype(x.dtype)
         return _add_tail(y, trows, tcols, tvals, (src,), m, n) \
             .astype(x.dtype)
     if mode == "split16":

@@ -248,3 +248,32 @@ def test_bsr_inapplicable_when_blocks_would_materialize_huge():
         bw=0.02)
     assert math.isfinite(
         estimate_spmm_time(matrix_features(banded), "bsr_pallas", 512))
+
+
+def test_gell_windowed_per_window_convert(monkeypatch):
+    """r5 (VERDICT r4 item 7): above the resident-bytes budget the
+    windowed bf16/split16 paths slice-and-convert per window block
+    instead of materializing a full derived source (the cv_gell 1M-row
+    OOM).  Forcing the budget to zero must give the same answers."""
+    import spgrid.ops.gell as gell_mod
+    # k must exceed the bf16 span cap (~64512 rows) so BOTH modes window
+    csr = artificial_matrix_generation(80000, 80000, 5, 1.7, "normal",
+                                       seed=11, placement="random", bw=0.05,
+                                       skew=10)      # skew -> COO tail too
+    x = np.random.default_rng(4).standard_normal((80000, 16)) \
+        .astype(np.float32)
+    outs = {}
+    for mode in ("bf16", "split16"):
+        a = DeviceGELL.from_csr(csr, mode=mode)
+        assert a.win_plan is not None
+        y_full = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
+        monkeypatch.setattr(gell_mod, "_PER_WIN_CONVERT_BUDGET", 0)
+        gell_mod._gell_spmm.clear_cache()
+        y_pwc = np.asarray(gell_spmm(a, jnp.asarray(x)), np.float64)
+        monkeypatch.setattr(gell_mod, "_PER_WIN_CONVERT_BUDGET", 6 << 30)
+        gell_mod._gell_spmm.clear_cache()
+        np.testing.assert_allclose(y_pwc, y_full, rtol=2e-4, atol=2e-4)
+        m = error_metrics(_gold(csr, x), y_pwc, epsilon=1e-4)
+        tol = 5e-2 if mode == "bf16" else 5e-4
+        assert m.mape < tol, (mode, m.mape)
+        outs[mode] = y_pwc
