@@ -57,6 +57,27 @@ def main():
     fig.savefig(os.path.join(RES, "validation_twins.png"), dpi=120)
     print("wrote validation_twin_ape.csv + validation_twins.png")
 
+    # r5 calibrated leg (VERDICT r4 item 8): compare twin-feature fidelity
+    # calibrated vs uncalibrated — avg_nnz hits the target exactly under
+    # calibration at a stated crs/neigh cost; report the feature errors
+    # and the GFLOPS shift side by side.
+    cal_path = os.path.join(RES, "validation_twins_cal.csv")
+    if os.path.exists(cal_path):
+        cal = pd.read_csv(cal_path)
+        calb = cal[cal.matrix_name.str.endswith("_twin")].copy()
+        calb["mat"] = calb.matrix_name.str[:-5]
+        cmp_ = base.merge(calb, on="mat", suffixes=("_uncal", "_cal"))
+        cols = ["mat", "gflops_uncal", "gflops_cal",
+                "avg_nnz_per_row_uncal", "avg_nnz_per_row_cal",
+                "cross_row_similarity_uncal", "cross_row_similarity_cal",
+                "fmt_uncal", "fmt_cal"]
+        cols = [c for c in cols if c in cmp_.columns]
+        out2 = cmp_[cols]
+        out2.to_csv(os.path.join(RES, "validation_twin_fidelity.csv"),
+                    index=False)
+        print(out2.to_string(index=False))
+        print("wrote validation_twin_fidelity.csv")
+
 
 if __name__ == "__main__":
     main()

@@ -43,6 +43,10 @@ retry 6 python scripts/run_bf16_leg.py
 log "=== gell16 wideband minimize (sacrificial) ==="
 timeout 1800 python scripts/exp_gell16_min.py || \
   log "gell16 probe exited rc=$? (expected if the worker crashed)"
+log "=== calibrated twins (fidelity fix leg; bases first) ==="
+export TWINS_CALIBRATED=1 SKIP_GRID_FIRST=1 VALIDATION_TWINS_MAX_S=3600
+retry 6 python scripts/run_validation_twins.py
+unset TWINS_CALIBRATED VALIDATION_TWINS_MAX_S
 log "=== medium study (rest of the round) ==="
 export MEDIUM_STUDY_MAX_S=${MEDIUM_STUDY_MAX_S:-14000}
 retry 60 python scripts/run_medium_study.py

@@ -28,8 +28,16 @@ from spgrid.bench.harness import run_spmm, BenchConfig  # noqa: E402
 from spgrid.bench.schema import CSVWriter  # noqa: E402
 from spgrid.gen.artificial import artificial_matrix_generation  # noqa: E402
 
+# TWINS_CALIBRATED=1 (r5, VERDICT r4 item 8): regenerate every twin with
+# gen.artificial's nnz calibration (trims the measured +15-18% avg-nnz
+# overshoot) into a separate CSV, so the fidelity analysis can compare
+# calibrated vs uncalibrated twins row-by-row without touching resume
+# keys of the committed uncalibrated leg.
+CALIBRATED = os.environ.get("TWINS_CALIBRATED", "") == "1"
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
-                   "tpu-v5e", "validation_twins.csv")
+                   "tpu-v5e",
+                   "validation_twins_cal.csv" if CALIBRATED
+                   else "validation_twins.csv")
 
 # (name, m, avg_nnz, std_nnz, bw, skew, neigh, crs) — measured features of
 # the reference validation set (see module doc for provenance)
@@ -132,7 +140,8 @@ def main():
                 p["m"], p["m"], p["avg"], p["std"], "normal", seed=14,
                 placement="random", bw=p["bw"], skew=p["skew"],
                 avg_num_neighbours=p["neigh"],
-                cross_row_similarity=p["crs"], name=name)
+                cross_row_similarity=p["crs"], name=name,
+                calibrate_nnz=CALIBRATED)
             row = run_spmm(csr, kernel="auto", config=cfg)
             writer.write(row)
             print(f"  -> {row.fmt} {row.gflops:.1f} GFLOPS "

@@ -59,9 +59,9 @@ class V5eConstants:
     # dense rows the median correction is 0.741 — a 3.6x dispatch bias
     # gone, VERDICT r4 weak #2)
     fudge: dict = dataclasses.field(default_factory=lambda: {
-        "gell": 1.320, "cv_gell": 0.949, "bsr_pallas": 0.940,
-        "dense": 1.090, "ell": 0.561, "gell16": 1.334, "merge": 0.898,
-        "panel_pallas": 0.860, "scoo": 1.140, "sell": 0.645,
+        "gell": 1.311, "cv_gell": 0.949, "bsr_pallas": 0.943,
+        "dense": 1.091, "ell": 0.561, "gell16": 1.334, "merge": 0.903,
+        "panel_pallas": 0.862, "scoo": 1.140, "sell": 0.638,
         "wcoo_bands": 0.970})
 
 
@@ -195,8 +195,11 @@ def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
 
 def _ell_time(f: MatrixFeatures, n: int) -> float:
     width = max(f.max_nnz_per_row, 1)
-    # the stock XLA ELL path never windows: full-source smooth cliff
-    rate = _full_src_rate(f.n * n * 4.0)
+    # the stock XLA ELL path never windows AND measures the full slow
+    # rate already just past the cliff (its padded (m, width) gather
+    # pattern — unlike merge/sell whose smooth interpolation fits);
+    # keep the step model here (r5: smooth made ell medAPE worse)
+    rate = C.gather_fast if f.n * n * 4 <= (1 << 26) else C.gather_slow
     return f.m * width / rate \
         + (f.m * width * n * 4 + f.m * n * 4) / C.combine_bw
 
@@ -404,7 +407,12 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
 # - wcoo_bands stays OUT: fill-aware slot model FAILS validation
 #   (medAPE 44.6%, p90 143% across the bw range — far over the ~30%
 #   admission bar; see refit output).
-AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell", "ell",
+# - ell DROPPED r5: its model fails the 30% bar (medAPE 37.7% on 11
+#   rows) and the format is functionally dominated by gell (= ELL +
+#   window plan + skew tail); a failing model in AUTO can only mis-steal
+#   gell's rows.  Still available as an explicit kernel.
+# - rbh NOT admitted pending measurement (scripts/exp_reorder.py).
+AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell",
                    "coo", "merge", "sell")
 
 
