@@ -130,7 +130,7 @@ class DeviceRBH:
     @classmethod
     def from_csr(cls, csr: CSRMatrix, *, n_hint: int = 512,
                  threshold: Optional[int] = None,
-                 residual: str = "sell",
+                 residual: str = "auto",
                  methods: Tuple[str, ...] = ("identity", "first_use",
                                              "centroid")) -> "DeviceRBH":
         thresh = auto_threshold(n_hint) if threshold is None else threshold
@@ -185,8 +185,23 @@ class DeviceRBH:
         lo_nnz = csr.nnz - hi_nnz
         if lo_nnz:
             lo = _sub(~mask)
+            if residual == "auto":
+                # cost-model pick on the RESIDUAL's own features: sell
+                # pays ~4m padded slots + three (m, n) permutation passes
+                # regardless of nnz, so on a 45%-nnz residual it measured
+                # ~2x merge (r5 first exp_reorder row: rbh/sell 29.3 GF
+                # vs the projected ~55 with an nnz-proportional residual)
+                from spgrid.features.structural import matrix_features
+                from spgrid.ops.costmodel import estimate_spmm_time
+                lf = matrix_features(lo)
+                residual = min(
+                    ("sell", "merge", "coo"),
+                    key=lambda fmt: estimate_spmm_time(lf, fmt, n_hint))
             if residual == "sell":
                 res = DeviceSELL.from_csr(lo)
+            elif residual == "merge":
+                from spgrid.ops.merge import DeviceMerge
+                res = DeviceMerge.from_csr(lo)
             elif residual == "coo":
                 from spgrid.ops.layouts import DeviceCOO
                 res = DeviceCOO.from_csr(lo)
@@ -211,7 +226,11 @@ def rbh_spmm(a: DeviceRBH, x: jax.Array) -> jax.Array:
     if a.bsr is not None:
         y = bsr_spmm(a.bsr, xp)
     if a.res is not None:
-        fn = xops.spmm_sell if a.res_fmt == "sell" else xops.spmm_coo
+        if a.res_fmt == "merge":
+            from spgrid.ops.merge import merge_spmm
+            fn = merge_spmm
+        else:
+            fn = xops.spmm_sell if a.res_fmt == "sell" else xops.spmm_coo
         yr = fn(a.res, xp)
         y = yr if y is None else (y + yr.astype(y.dtype))
     if y is None:
