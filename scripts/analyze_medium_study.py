@@ -32,7 +32,8 @@ RES = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
 FMT_COLORS = {
     "dense": "#2a78d6", "bsr_pallas": "#eb6834", "panel_pallas": "#1baf7a",
     "gell": "#eda100", "wcoo_bands": "#e87ba4", "scoo": "#008300",
-    "ell": "#4a3aa7", "coo": "#e34948",
+    "ell": "#4a3aa7", "coo": "#e34948", "merge": "#7a4ad6",
+    "sell": "#13a0a8", "rbh": "#a05a2c",
 }
 
 
@@ -44,7 +45,8 @@ def main():
     # (merge/sell admitted) take precedence over stale pre-admission
     # auto rows for the same matrix in the older CSVs
     paths = [os.path.join(RES, p) for p in
-             ("medium_study_r4auto.csv", "medium_study.csv",
+             ("medium_study_r5auto.csv",
+              "medium_study_r4auto.csv", "medium_study.csv",
               "medium_slice_auto.csv", "medium_spread_auto.csv",
               "medium_spread_r2.csv", "medium_spread_r2_refresh.csv",
               "medium_spread_r3_refresh.csv")]
