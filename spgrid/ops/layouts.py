@@ -146,15 +146,36 @@ class DeviceBSR:
     def from_csr(cls, csr: CSRMatrix, bm: int = 8, bk: int = 128,
                  pad_multiple: int = 1) -> "DeviceBSR":
         bsr = csr_to_bsr(csr, bm=bm, bk=bk)
-        nb = bsr.num_blocks
+        # the Pallas kernel zero-initializes an output row-block only on
+        # its FIRST block (bsr_spmm.py::_kernel) — a block row with no
+        # blocks is never written and returns uninitialized memory (r5
+        # bug, exposed by rbh's low-coverage block parts on scat_524k:
+        # NaNs in the empty slabs).  Guarantee coverage: one zero block
+        # per empty block row.
+        brows = np.repeat(np.arange(bsr.mb, dtype=np.int32),
+                          np.diff(bsr.block_row_ptr))
+        empty = np.setdiff1d(np.arange(bsr.mb, dtype=np.int32), brows,
+                             assume_unique=False)
+        nb = bsr.num_blocks + len(empty)
         nb_pad = _round_up(max(nb, 1), pad_multiple)
         rows = np.full(nb_pad, bsr.mb, dtype=np.int32)
         cols = np.zeros(nb_pad, dtype=np.int32)
         blocks = np.zeros((nb_pad, bm, bk), dtype=csr.values.dtype)
-        rows[:nb] = np.repeat(np.arange(bsr.mb, dtype=np.int32),
-                              np.diff(bsr.block_row_ptr))
-        cols[:nb] = bsr.block_col_idx
-        blocks[:nb] = bsr.blocks
+        if len(empty):
+            allr = np.concatenate([brows, empty])
+            order = np.argsort(allr, kind="stable")
+            allc = np.concatenate([bsr.block_col_idx,
+                                   np.zeros(len(empty), np.int32)])
+            allb = np.concatenate([
+                bsr.blocks,
+                np.zeros((len(empty), bm, bk), bsr.blocks.dtype)])
+            rows[:nb] = allr[order]
+            cols[:nb] = allc[order]
+            blocks[:nb] = allb[order]
+        else:
+            rows[:nb] = brows
+            cols[:nb] = bsr.block_col_idx
+            blocks[:nb] = bsr.blocks
         return cls(
             block_rows=jnp.asarray(rows),
             block_cols=jnp.asarray(cols),

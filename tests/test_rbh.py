@@ -134,3 +134,29 @@ def test_rbh_cost_model_entry():
     assert math.isfinite(t) and t > 0
     # not AUTO-admitted until measured (the wcoo_bands lesson)
     assert "rbh" not in AUTO_CANDIDATES or True
+
+
+def test_bsr_empty_block_rows_are_zeroed():
+    """r5 regression: bsr_spmm only zero-initializes an output row-block
+    on its first block — a block row with NO blocks was returning
+    uninitialized memory (NaNs on scat_524k through rbh's low-coverage
+    hi part).  DeviceBSR now guarantees coverage with zero blocks."""
+    from spgrid.ops.layouts import DeviceBSR
+    from spgrid.ops.pallas.bsr_spmm import bsr_spmm
+    from spgrid.formats.csr import CSRMatrix
+    # rows 0-127 and 384-511 occupied; block rows 1-2 empty
+    row_ptr = np.zeros(513, np.int32)
+    row_ptr[1:129] = np.arange(1, 129)
+    row_ptr[129:385] = 128
+    row_ptr[385:] = 128 + np.arange(1, 129)
+    col_idx = np.concatenate([np.arange(128), np.arange(128)]) \
+        .astype(np.int32)
+    vals = np.ones(256, np.float32)
+    csr = CSRMatrix(row_ptr, col_idx, vals, (512, 512))
+    a = DeviceBSR.from_csr(csr, bm=128, bk=128)
+    x = np.random.default_rng(0).random((512, 8), np.float32)
+    y = np.asarray(bsr_spmm(a, jnp.asarray(x)))
+    assert np.isfinite(y).all()
+    gold = gold_spmm(csr.row_ptr, csr.col_idx, csr.values, x)
+    assert error_metrics(gold, y, epsilon=1e-4).passed
+    assert np.all(y[128:384] == 0)
