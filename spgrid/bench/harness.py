@@ -194,6 +194,11 @@ KERNELS = {
     "rbh": "rbh",                  # reorder-block hybrid (MKL-IE regime)
     "gemm_bound": "dense",         # dense GEMM upper bound (dense flop count)
     "auto": None,                  # feature-driven dispatch (no measuring)
+    "auto_tol": None,              # tolerance-enabled dispatch: cv_*
+                                   # kernels join the candidate set (the
+                                   # reference's value-compression trade,
+                                   # lib/bitstream.c; gated vs dequantized
+                                   # gold like any cv row)
     "autotune": None,              # measured dispatch (inspector-executor
                                    # discipline: inspect+optimize then run,
                                    # ref mkl_sparse_optimize usage)
@@ -260,8 +265,10 @@ def run_spmm(
             if kernel == "autotune":
                 fmt = dispatch.autotune_spmm(csr, xd).best
             else:
+                from spgrid.ops.costmodel import CV_TOLERANCE
                 feats = _cached_features(csr)
-                fmt = dispatch.select_format(feats, n)
+                tol = CV_TOLERANCE if kernel == "auto_tol" else 0.0
+                fmt = dispatch.select_format(feats, n, tolerance=tol)
             kernel_run = fmt
         else:
             kernel_run = kernel

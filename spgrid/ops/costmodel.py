@@ -500,11 +500,37 @@ def fit_constants(df, *, min_rows: int = 3) -> dict:
     return fitted
 
 
+# Value-compressed candidates for tolerance-enabled dispatch (r5): the
+# reference's value-compression study (lib/bitstream.c, CV modes) is an
+# explicit accuracy trade — offered only when the caller states a
+# tolerance at or above the bf16-X representation error (~2^-8).
+CV_TOLERANCE = 4e-3
+
+
+def tolerant_candidates(f: MatrixFeatures, n: int) -> tuple:
+    cands = ["cv_panel"]
+    # cv_gell regime gate (ROADMAP r4 item 4): the giant-m windowed rows
+    # (m >= ~200k, bf16-windowable band) mispredict 2.5-4.7x — exclude
+    # exactly that regime so the least-validated model cannot steer
+    # tolerance dispatch where it is known to be wrong
+    if not (f.m >= 200_000 and _gell_windowable(f, 2.0)):
+        cands.append("cv_gell")
+    return tuple(cands)
+
+
 def select_format_cost(f: MatrixFeatures, n: int = 512,
-                       candidates=AUTO_CANDIDATES) -> str:
-    """argmin of the analytic time models over applicable formats."""
+                       candidates=AUTO_CANDIDATES,
+                       tolerance: float = 0.0) -> str:
+    """argmin of the analytic time models over applicable formats.
+
+    tolerance >= CV_TOLERANCE additionally offers the value-compressed
+    kernels (the accuracy bar is then the dequantized gold, see
+    bench/harness.py oracle classes)."""
+    cands = tuple(candidates)
+    if tolerance >= CV_TOLERANCE:
+        cands = cands + tolerant_candidates(f, n)
     best, best_t = None, math.inf
-    for fmt in candidates:
+    for fmt in cands:
         t = estimate_spmm_time(f, fmt, n)
         if t < best_t:
             best, best_t = fmt, t

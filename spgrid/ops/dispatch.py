@@ -46,7 +46,8 @@ FORMATS = ("dense", "bsr_pallas", "bsrc_pallas", "panel_pallas", "bsr",
 
 
 def select_format(f: MatrixFeatures, n: int = 512,
-                  dense_limit_bytes: int = 1 << 31) -> str:
+                  dense_limit_bytes: int = 1 << 31,
+                  tolerance: float = 0.0) -> str:
     """Format selection for `auto` dispatch.
 
     SpMV (n=1) keeps the measured round-1 routing (fused vector kernels).
@@ -55,13 +56,17 @@ def select_format(f: MatrixFeatures, n: int = 512,
     Round-1's threshold heuristics missed regime crossovers that depend on
     more than one feature (small-m dense, large-m gather regimes); the
     cost model ranks them directly.
+
+    tolerance: stated acceptable relative error; at >= costmodel.
+    CV_TOLERANCE (~bf16 X representation) the value-compressed kernels
+    join the candidate set (the reference's CV study trade, explicit).
     """
     if n == 1 and f.density < 0.05:
         # SpMV: fused vector kernels (measured: wrow wins 10-20% over the
         # aligned-slot kernel on every 100k benchmark config)
         return "wrow_spmv"
     from spgrid.ops.costmodel import select_format_cost
-    return select_format_cost(f, n)
+    return select_format_cost(f, n, tolerance=tolerance)
 
 
 def build(csr: CSRMatrix, fmt: str, *, bm: Optional[int] = None,

@@ -221,3 +221,37 @@ def test_static_timing_protocol():
     cfg = BenchConfig(num_cols=8, min_time_s=0.02, timing_protocol="static")
     row = run_spmm(csr, kernel="csr_xla_coo", config=cfg)
     assert row.errors_passed == 1 and row.time > 0
+
+
+def test_auto_tol_dispatch_offers_cv_kernels():
+    """r5: tolerance-enabled dispatch is a real path — at tolerance >=
+    CV_TOLERANCE the value-compressed kernels join the candidate set
+    (explicit opt-in; the headline `auto` stays f32-exact), and the
+    giant-m windowed regime where cv_gell's model fails is gated out."""
+    import dataclasses
+    from spgrid.features.structural import matrix_features
+    from spgrid.ops.costmodel import (
+        CV_TOLERANCE, tolerant_candidates, select_format_cost)
+    from spgrid.gen import artificial_matrix_generation
+    csr = artificial_matrix_generation(4096, 4096, 8, 2.5, "normal",
+                                       seed=14, placement="random", bw=0.3)
+    f = matrix_features(csr)
+    assert "cv_gell" in tolerant_candidates(f, 512)
+    # the gated regime: giant m, windowable bf16 band
+    fg = dataclasses.replace(f, m=250000, n=250000, avg_bw=2000.0,
+                             std_bw=500.0)
+    assert "cv_gell" not in tolerant_candidates(fg, 512)
+    # select_format_cost with tolerance never errors and returns a format
+    pick = select_format_cost(f, 512, tolerance=CV_TOLERANCE)
+    assert isinstance(pick, str)
+
+
+def test_auto_tol_runs_through_harness():
+    from spgrid.bench.harness import run_spmm, BenchConfig
+    from spgrid.gen import artificial_matrix_generation
+    csr = artificial_matrix_generation(512, 512, 8, 2.5, "normal", seed=14,
+                                       placement="random", bw=0.3)
+    row = run_spmm(csr, kernel="auto_tol",
+                   config=BenchConfig(num_cols=16, min_time_s=0.02))
+    assert row.kernel == "auto_tol"
+    assert row.errors_passed == 1
