@@ -314,15 +314,15 @@ def _rbh_time(f: MatrixFeatures, n: int) -> float:
     """Reorder-block hybrid (ops/rbh.py): per-call X column-perm gather +
     MXU block passes over the clustered fraction + gather residual.
 
-    Clusterability model: columns are reused down ~run = 1/(1-crs)
-    adjacent rows, so after column reordering a 128-row block packs
-    ~128*min(avg, run) nnz per occupied 128x128 block; the residual is
-    the non-local reuse tail, ~ (1 - crs) of the nnz.  Constants are a
-    prior — refit from measured reorder_rbh.csv rows before AUTO
-    admission (the wcoo_bands lesson: never admit unmeasured)."""
+    Clusterability model calibrated on the r5 measured splits
+    (reorder_amortization.csv): the inspect step packs hi_frac ~
+    0.74 * crs of the nnz (measured 0.554/0.75, 0.22/0.30, 0.196/...)
+    into blocks of fill c ~ 90 * run^0.42 nnz (measured 163 at run=4,
+    113 at run=1.43, 92 at run=1.05), where run = 1/(1-crs) is the
+    column-reuse row-run length; the residual is the non-local tail."""
     run = 1.0 / max(1.0 - min(f.cross_row_similarity, 0.999), 1.0 / 128.0)
-    c = 128.0 * min(max(f.avg_nnz_per_row, 1.0), run)
-    hi_frac = min(1.0, 1.2 * f.cross_row_similarity)
+    c = 90.0 * min(run, 128.0) ** 0.42
+    hi_frac = min(1.0, 0.74 * f.cross_row_similarity)
     hi_blocks = hi_frac * f.nnz / max(c, 1.0)
     per_block = max(128.0 * n * 4 / C.eff_bw,
                     2.0 * 128 * 128 * n / C.mxu_f32) + C.grid_step

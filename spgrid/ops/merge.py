@@ -37,6 +37,7 @@ import numpy as np
 from spgrid.formats.csr import CSRMatrix
 
 ROWS_CAP = 128
+_CHUNK_BYTES = 1 << 28      # gathered-intermediate budget per scan chunk
 
 
 @jax.tree_util.register_pytree_node_class
@@ -115,21 +116,50 @@ def _merge_spmm(cols, vals, local_rows, out_rows, x, *, m):
     B, T = cols.shape
     k, n = x.shape
     acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
-    g = jnp.take(x, cols.reshape(-1), axis=0)          # (B*T, n)
-    # value-weighted one-hot scatter on the MXU at ambient precision
-    onehot = jax.nn.one_hot(local_rows, ROWS_CAP, axis=1,
-                            dtype=acc)                  # (B, 128, T)
-    a = onehot * vals[:, None, :].astype(acc)
-    parts = jax.lax.dot_general(
-        a, g.reshape(B, T, n).astype(acc),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=acc)                     # (B, 128, n)
-    # out_rows is NOT globally sorted: consecutive blocks usually start
-    # fewer than ROWS_CAP rows apart, so their 128-row strips interleave
-    # (e.g. ...,100,101,  10,11,...).  The sorted hint here is undefined
-    # behavior on the TPU sorted-scatter path — keep it off.
-    y = jax.ops.segment_sum(parts.reshape(B * ROWS_CAP, n), out_rows,
-                            num_segments=m + 1, indices_are_sorted=False)
+
+    def block_y(cb, vb, lb, ob, nb):
+        g = jnp.take(x, cb.reshape(-1), axis=0)        # (nb*T, n)
+        # value-weighted one-hot scatter on the MXU at ambient precision
+        onehot = jax.nn.one_hot(lb, ROWS_CAP, axis=1, dtype=acc)
+        a = onehot * vb[:, None, :].astype(acc)
+        parts = jax.lax.dot_general(
+            a, g.reshape(nb, T, n).astype(acc),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc)                 # (nb, 128, n)
+        # out_rows is NOT globally sorted: consecutive blocks usually
+        # start fewer than ROWS_CAP rows apart, so their 128-row strips
+        # interleave.  The sorted hint here is undefined behavior on the
+        # TPU sorted-scatter path — keep it off.
+        return jax.ops.segment_sum(parts.reshape(nb * ROWS_CAP, n), ob,
+                                   num_segments=m + 1,
+                                   indices_are_sorted=False)
+
+    # chunk so the gathered intermediate + one-hot + partials stay ~1GB
+    # (r5: the single-shot path materialized (B*T, n) — 8.6GB at 1M rows,
+    # OOMing merge and the rbh residual on the giant grid row)
+    chunk = max(1, int(_CHUNK_BYTES // max(T * n * 4, 1)) * 4)
+    if B <= chunk:
+        y = block_y(cols, vals, local_rows, out_rows, B)
+    else:
+        nc = -(-B // chunk)
+        pad = nc * chunk - B
+        if pad:
+            cols = jnp.pad(cols, ((0, pad), (0, 0)))
+            vals = jnp.pad(vals, ((0, pad), (0, 0)))
+            local_rows = jnp.pad(local_rows, ((0, pad), (0, 0)))
+            # pad blocks scatter into the sacrificial segment m
+            out_rows = jnp.concatenate(
+                [out_rows, jnp.full(pad * ROWS_CAP, m, jnp.int32)])
+
+        def step(carry, blk):
+            cb, vb, lb, ob = blk
+            return carry + block_y(cb, vb, lb, ob, chunk), 0
+
+        y, _ = jax.lax.scan(
+            step, jnp.zeros((m + 1, n), acc),
+            (cols.reshape(nc, chunk, T), vals.reshape(nc, chunk, T),
+             local_rows.reshape(nc, chunk, T),
+             out_rows.reshape(nc, chunk * ROWS_CAP)))
     return y[:m].astype(x.dtype)
 
 

@@ -217,7 +217,29 @@ class DeviceWPACK:
                 + self.piece_w.size * 4 + self.group_sub.size * 4)
 
 
-def _make_kernel(wsel: int):
+def _lane_prefix(p, scheme: str):
+    """Inclusive lane-prefix sum of (8, 128) via 7 static shift-adds.
+
+    scheme: "pad" (jnp.pad+slice — materializes a copy per step) or
+    "roll" (pltpu.roll + precomputed iota mask — lane rotate is the
+    measured-cheap lane shuffle, ~137ns per (256,128) tile)."""
+    P = p
+    if scheme == "roll":
+        lanes = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            rolled = pltpu.roll(P, sh, 1)
+            P = P + jnp.where(lanes >= sh, rolled, 0.0)
+    else:
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            P = P + jnp.pad(P, ((0, 0), (sh, 0)))[:, :LANE]
+    return P
+
+
+def _make_kernel(wsel: int, ablate: str = "", prefix: str = "roll"):
+    """ablate: "" (full kernel) | "noseg" (skip the segmented reduce —
+    WRONG MATH, timing-ablation only) | "nogather" (skip the 2 boundary
+    takes, keep the prefix — WRONG MATH, timing-ablation only)."""
+
     def _kernel(pw_ref, gsub_ref, cols_ref, vals_ref, ends_ref, starts_ref,
                 sel_ref, x2_ref, y2_ref):
         b = pl.program_id(0)
@@ -247,16 +269,19 @@ def _make_kernel(wsel: int):
                     t = jnp.take_along_axis(src_r, idx, axis=1)
                     p = p + jnp.where(sel == r, t, 0.0)
                 p = p * v
-            # lane-prefix inclusive sum: 7 static shift-adds (pad+slice
-            # keeps the shifted-in lanes zero without a mask)
-            P = p
-            for sh in (1, 2, 4, 8, 16, 32, 64):
-                P = P + jnp.pad(P, ((0, 0), (sh, 0)))[:, :LANE]
-            Pex = P - p
-            e_idx = ends_ref[pl.ds(g * 8, 8), :].astype(jnp.int32)
-            s_idx = starts_ref[pl.ds(g * 8, 8), :].astype(jnp.int32)
-            contrib = jnp.take_along_axis(P, e_idx, axis=1) \
-                - jnp.take_along_axis(Pex, s_idx, axis=1)
+            if ablate == "noseg":
+                contrib = p
+            else:
+                P = _lane_prefix(p, prefix)
+                if ablate == "nogather":
+                    contrib = P
+                else:
+                    Pex = P - p
+                    e_idx = ends_ref[pl.ds(g * 8, 8), :].astype(jnp.int32)
+                    s_idx = starts_ref[pl.ds(g * 8, 8), :] \
+                        .astype(jnp.int32)
+                    contrib = jnp.take_along_axis(P, e_idx, axis=1) \
+                        - jnp.take_along_axis(Pex, s_idx, axis=1)
             y2_ref[pl.ds(sr, 1), :] += jnp.sum(contrib, axis=0,
                                                keepdims=True)
             return 0
@@ -267,9 +292,10 @@ def _make_kernel(wsel: int):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("m2", "wsel", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m2", "wsel", "interpret",
+                                              "ablate", "prefix"))
 def _spmv(piece_w, group_sub, cols, vals, ends, starts, sel, x2, *, m2,
-          wsel, interpret):
+          wsel, interpret, ablate="", prefix="roll"):
     gp = cols.shape[0] // (8 * GROUPS_PER_STEP)
     k2 = x2.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -290,7 +316,7 @@ def _spmv(piece_w, group_sub, cols, vals, ends, starts, sel, x2, *, m2,
         out_specs=pl.BlockSpec((m2, LANE), lambda b: (0, 0)),
     )
     return pl.pallas_call(
-        _make_kernel(wsel),
+        _make_kernel(wsel, ablate, prefix),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m2, LANE), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -306,8 +332,13 @@ def _spmv(piece_w, group_sub, cols, vals, ends, starts, sel, x2, *, m2,
 
 
 def wpack_spmv(a: DeviceWPACK, x: jax.Array,
-               interpret: bool | None = None) -> jax.Array:
-    """y = A @ x; x (k,) -> y (m,)."""
+               interpret: bool | None = None, ablate: str = "",
+               prefix: str = "roll") -> jax.Array:
+    """y = A @ x; x (k,) -> y (m,).
+
+    ablate/prefix are explicit recorded knobs for the timing ablation
+    (scripts/exp_wpack_ablate.py); ablate != "" gives WRONG results by
+    design and must never reach a benchmark row."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m, k = a.shape
@@ -317,5 +348,6 @@ def wpack_spmv(a: DeviceWPACK, x: jax.Array,
     x2 = jnp.zeros((k2 * LANE,), x.dtype).at[:k].set(x).reshape(k2, LANE)
     m2 = max(-(-m // LANE), 1)
     y2 = _spmv(a.piece_w, a.group_sub, a.cols, a.values, a.ends, a.starts,
-               a.sel, x2, m2=m2, wsel=a.wsel, interpret=interpret)
+               a.sel, x2, m2=m2, wsel=a.wsel, interpret=interpret,
+               ablate=ablate, prefix=prefix)
     return y2.reshape(-1)[:m].astype(x.dtype)

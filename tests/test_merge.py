@@ -74,3 +74,28 @@ def test_merge_via_dispatch():
     y = np.asarray(fn(a, jnp.asarray(x)), np.float64)
     em = error_metrics(_gold(csr, x), y, epsilon=1e-4)
     assert em.mape < 5e-5
+
+
+def test_merge_chunked_scan_matches_single_shot(monkeypatch):
+    """r5: giant-m merge scans over block chunks (the single-shot gathered
+    intermediate was 8.6GB at 1M rows — OOM on the giant grid row).
+    Forcing a tiny chunk budget must keep the result exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    import spgrid.ops.merge as merge_mod
+    from spgrid.core.metrics import gold_spmm, error_metrics
+    from spgrid.formats import random_csr
+    csr = random_csr(3000, 3000, density=0.01, seed=5)
+    csr.values = np.abs(csr.values) + 0.1
+    a = merge_mod.DeviceMerge.from_csr(csr, block_nnz=64)
+    x = np.random.default_rng(2).random((3000, 16), np.float32) + 0.5
+    gold = gold_spmm(csr.row_ptr, csr.col_idx, csr.values, x)
+    y1 = np.asarray(merge_mod.merge_spmm(a, jnp.asarray(x)))
+    monkeypatch.setattr(merge_mod, "_CHUNK_BYTES", 1 << 12)   # ~4 blocks
+    merge_mod._merge_spmm.clear_cache()
+    y2 = np.asarray(merge_mod.merge_spmm(a, jnp.asarray(x)))
+    monkeypatch.setattr(merge_mod, "_CHUNK_BYTES", 1 << 28)
+    merge_mod._merge_spmm.clear_cache()
+    assert error_metrics(gold, y1, epsilon=1e-4).passed
+    assert error_metrics(gold, y2, epsilon=1e-4).passed
+    np.testing.assert_allclose(y1, y2, rtol=1e-6, atol=1e-6)
