@@ -59,9 +59,9 @@ class V5eConstants:
     # dense rows the median correction is 0.741 — a 3.6x dispatch bias
     # gone, VERDICT r4 weak #2)
     fudge: dict = dataclasses.field(default_factory=lambda: {
-        "gell": 1.311, "cv_gell": 0.949, "bsr_pallas": 0.943,
-        "dense": 1.091, "ell": 0.561, "gell16": 1.334, "merge": 0.903,
-        "panel_pallas": 0.862, "scoo": 1.140, "sell": 0.638,
+        "gell": 1.306, "cv_gell": 0.949, "bsr_pallas": 1.052,
+        "dense": 1.090, "ell": 0.561, "gell16": 1.334, "merge": 0.903,
+        "panel_pallas": 0.817, "rbh": 1.051, "scoo": 1.140, "sell": 0.631,
         "wcoo_bands": 0.970})
 
 
@@ -74,15 +74,21 @@ def _dense_time(f: MatrixFeatures, n: int, flops_rate: float) -> float:
     return max(flops / flops_rate, bytes_ / C.eff_bw)
 
 
-def _bsr_occupied_blocks(f: MatrixFeatures) -> float:
+def _bsr_occupied_blocks(f: MatrixFeatures, clustering_cap: bool = False
+                         ) -> float:
     """Estimated occupied 128x128 blocks — shared by _bsr_time and the
     bsr applicability gate (ADVICE r4: one copy, not two that drift).
 
-    Base model: Poisson fill over the band's candidate blocks.  Clustering
-    cap (ADVICE r4): uniform fill overestimates occupancy for clustered
-    structure — entries arrive in ~(1+avg_num_neighbours)-long column
-    segments repeated over ~1/(1-crs) adjacent rows, so each occupied
-    block expects at least that many entries; occupied <= nnz / that."""
+    Base model: Poisson fill over the band's candidate blocks.
+    clustering_cap (ADVICE r4, GATE ONLY): uniform fill overestimates
+    occupancy for clustered structure — entries arrive in
+    ~(1+avg_num_neighbours)-long column segments repeated over ~1/(1-crs)
+    adjacent rows, so each occupied block expects at least that many
+    entries; occupied <= nnz / that.  The cap's direction is right for
+    the 2GB inapplicability gate (never exclude a runnable clustered
+    matrix) but r5 validation showed it WORSENS the time model's ranking
+    (medAPE 31 -> 40: local clusters are rarely block-aligned), so
+    _bsr_time keeps the uncapped estimate."""
     mb = max(f.m / 128.0, 1.0)
     kb = max(f.n / 128.0, 1.0)
     # blocks that can hold nnz: banded matrices restrict to the band
@@ -90,6 +96,8 @@ def _bsr_occupied_blocks(f: MatrixFeatures) -> float:
     cand = mb * band_kb
     lam = f.nnz / max(cand, 1e-9)          # nnz per candidate block
     occ = cand * (1.0 - math.exp(-lam / 1.0))
+    if not clustering_cap:
+        return occ
     seg = 1.0 + max(f.avg_num_neighbours, 0.0)
     run = 1.0 / max(1.0 - min(f.cross_row_similarity, 1.0), 1.0 / 128.0)
     per_occ = max(1.0, lam, min(seg, 128.0) * min(run, 128.0))
@@ -351,7 +359,8 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
         # scattered 137k-row matrix occupies ~nnz blocks -> ~190GB and
         # the conversion wedges the host (r4 medium-study stall) — the
         # format is inapplicable long before the time model says slow
-        if _bsr_occupied_blocks(f) * 128 * 128 * 4 > (1 << 31):
+        if _bsr_occupied_blocks(f, clustering_cap=True) * 128 * 128 * 4 \
+                > (1 << 31):
             return math.inf
         return _fudged(fmt, _bsr_time(f, n)) + C.dispatch
     if fmt in ("panel_pallas", "cv_panel"):
@@ -411,9 +420,22 @@ def estimate_spmm_time(f: MatrixFeatures, fmt: str, n: int) -> float:
 #   rows) and the format is functionally dominated by gell (= ELL +
 #   window plan + skew tail); a failing model in AUTO can only mis-steal
 #   gell's rows.  Still available as an explicit kernel.
-# - rbh NOT admitted pending measurement (scripts/exp_reorder.py).
+# - rbh ADMITTED r5: measured on 12 class rows (reorder_rbh.csv +
+#   bf16 leg) — wins scat_524k (+43% over the prior class best), the
+#   skew grid (40.0/39.8/37.5 vs merge's 35.9/36.2/37.1), ties
+#   scat_393k, and carries the mac_econ twin at 118-138 GF (past the
+#   105-GFLOPS MKL-IE bar); model medAPE 17.8% (under the 30% bar),
+#   fitted fudge 1.051.
 AUTO_CANDIDATES = ("dense", "bsr_pallas", "panel_pallas", "gell",
-                   "coo", "merge", "sell")
+                   "coo", "merge", "sell", "rbh")
+
+
+def _finite_or_zero(v) -> float:
+    try:
+        v = float(v)
+    except (TypeError, ValueError):
+        return 0.0
+    return v if math.isfinite(v) else 0.0
 
 
 def prediction_records(df) -> list:
@@ -461,8 +483,12 @@ def prediction_records(df) -> list:
             avg_bw_scaled=float(r["avg_bw_scaled"]),
             std_bw_scaled=float(r["std_bw_scaled"]),
             avg_sc=0.0, std_sc=0.0, avg_sc_scaled=0.0, std_sc_scaled=0.0,
-            skew=float(r["skew"]), avg_num_neighbours=0.0,
-            cross_row_similarity=0.0)
+            skew=float(r["skew"]),
+            # clustering features steer the rbh/bsr models — carry them
+            # when the row has them (r5; they default to 0 on old rows)
+            avg_num_neighbours=_finite_or_zero(r.get("avg_num_neighbours")),
+            cross_row_similarity=_finite_or_zero(
+                r.get("cross_row_similarity")))
         pred = estimate_spmm_time(f, fmt, int(r["input_columns"]))
         if math.isfinite(pred) and pred > 0 and float(r["time"]) > 0:
             records.append(dict(
