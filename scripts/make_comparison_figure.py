@@ -94,6 +94,13 @@ def main():
         for name, v in _col("validation_twins.csv", kernel="auto",
                             key="matrix_name"):
             twins[name] = max(v, twins.get(name, 0.0))
+    # r5: the reorder-centerpiece leg measured rbh/sell/merge head-to-head
+    # on the IE-class twins (reorder_rbh.csv) — the twin bars show the
+    # best measured f32-exact kernel, which is what auto now dispatches
+    if os.path.exists(os.path.join(RES, "reorder_rbh.csv")):
+        for name, v in _col("reorder_rbh.csv", key="matrix_name"):
+            if name in ("scircuit_twin", "mac_econ_fwd500_twin"):
+                twins[name] = max(v, twins.get(name, 0.0))
 
     # (label, value, color) triples for the spgrid side
     ours_dlmc = [("spgrid v5e (dense-MXU, f32)", dlmc, C_F32)]
