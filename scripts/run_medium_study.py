@@ -37,8 +37,11 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "benchmark_results",
 MAX_ROWS = 262144
 TARGET = 500            # r3: VERDICT asked >=500 stratified (was 320)
 PORTFOLIO = ("gell", "cv_gell", "merge", "sell", "ell_xla", "bsr_pallas",
-             "panel_pallas", "dense")
-PORTFOLIO_EVERY = 4
+             "panel_pallas", "dense", "rbh")
+# r5: every 2nd matrix runs the fixed portfolio (was 4) — the dispatch
+# accuracy sample (n of portfolio matrices) is the binding target now
+# that the gen cache is fully prewarmed
+PORTFOLIO_EVERY = 2
 
 
 CRASHES = os.path.join(os.path.dirname(OUT), ".medium_crashes")
