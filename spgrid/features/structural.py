@@ -205,6 +205,14 @@ class MatrixFeatures:
     skew: float                   # (max-avg)/avg
     avg_num_neighbours: float
     cross_row_similarity: float
+    # r5 extension beyond the A.1 set: mean |row col-center - diagonal|,
+    # normalized by n.  Row-local bandwidth (avg_bw) says nothing about
+    # where the band SITS: narrow rows that wander across a wide diagonal
+    # range occupy ~one 128^2 block each, and the bsr occupancy model
+    # (costmodel._bsr_occupied_blocks) mispredicted them 15x (the
+    # art_118387 bsr-vs-gell dispatch miss).  Defaults 0 so records
+    # reconstructed from pre-r5 CSV rows keep the old behavior.
+    avg_dd_scaled: float = 0.0
 
     def as_row(self) -> dict:
         return dataclasses.asdict(self)
@@ -257,7 +265,23 @@ def matrix_features(csr: CSRMatrix, name: str | None = None) -> MatrixFeatures:
         skew=(float(d.max()) - avg_d) / avg_d if avg_d > 0 else 0.0,
         avg_num_neighbours=avg_num_neighbours(csr),
         cross_row_similarity=crs,
+        avg_dd_scaled=_avg_diag_dev(csr) / n,
     )
+
+
+def _avg_diag_dev(csr: CSRMatrix) -> float:
+    """Mean |row col-center - row * k/m| over non-empty rows (see
+    MatrixFeatures.avg_dd_scaled)."""
+    if csr.m == 0 or csr.nnz == 0:
+        return 0.0
+    d = np.diff(csr.row_ptr).astype(np.float64)
+    sums = np.add.reduceat(csr.col_idx.astype(np.float64),
+                           np.minimum(csr.row_ptr[:-1], csr.nnz - 1))
+    sums[d == 0] = 0.0
+    nz = d > 0
+    centers = sums[nz] / d[nz]
+    diag = np.arange(csr.m, dtype=np.float64)[nz] * (csr.k / max(csr.m, 1))
+    return float(np.abs(centers - diag).mean())
 
 
 def twin_params(csr: CSRMatrix, name: str | None = None, seed: int = 14) -> str:

@@ -91,8 +91,13 @@ def _bsr_occupied_blocks(f: MatrixFeatures, clustering_cap: bool = False
     _bsr_time keeps the uncapped estimate."""
     mb = max(f.m / 128.0, 1.0)
     kb = max(f.n / 128.0, 1.0)
-    # blocks that can hold nnz: banded matrices restrict to the band
-    band_kb = min(kb, (f.avg_bw + 256.0) / 128.0)
+    # blocks that can hold nnz: banded matrices restrict to the band.
+    # The band is row bandwidth PLUS diagonal wander (r5: narrow rows
+    # scattered across a wide placement range — avg_bw 10 cols but
+    # centers spread over ~6k — occupied ~1 block per row-run, 15x the
+    # row-bandwidth-only estimate; avg_dd_scaled is the wander feature)
+    band = f.avg_bw + 4.0 * getattr(f, "avg_dd_scaled", 0.0) * f.n
+    band_kb = min(kb, (band + 256.0) / 128.0)
     cand = mb * band_kb
     lam = f.nnz / max(cand, 1e-9)          # nnz per candidate block
     occ = cand * (1.0 - math.exp(-lam / 1.0))
