@@ -86,3 +86,28 @@ def test_twin_params_format():
     assert len(parts) == 12
     assert parts[0] == "100" and parts[4] == "normal" and parts[5] == "random"
     assert parts[10] == "14"
+
+
+def test_avg_diag_dev_feature():
+    """r5 diagonal-wander feature: 0 for a perfect diagonal, large for
+    narrow rows placed far off-diagonal; robust to empty rows."""
+    import numpy as np
+    from spgrid.formats.csr import CSRMatrix, dense_to_csr
+    from spgrid.features.structural import matrix_features, _avg_diag_dev
+    eye = dense_to_csr(np.eye(64, dtype=np.float32))
+    assert _avg_diag_dev(eye) == 0.0
+    # all nnz in the last column: mean |63 - i| over i=0..63
+    d = np.zeros((64, 64), np.float32)
+    d[:, 63] = 1.0
+    far = dense_to_csr(d)
+    assert _avg_diag_dev(far) == np.abs(63 - np.arange(64)).mean()
+    # trailing + interior empty rows
+    row_ptr = np.array([0, 1, 1, 2, 2, 2], np.int32)
+    csr = CSRMatrix(row_ptr, np.array([0, 4], np.int32),
+                    np.ones(2, np.float32), (5, 5))
+    f = matrix_features(csr)
+    assert 0.0 <= f.avg_dd_scaled <= 1.0
+    # empty matrix
+    empty = CSRMatrix(np.zeros(6, np.int32), np.zeros(0, np.int32),
+                      np.zeros(0, np.float32), (5, 5))
+    assert _avg_diag_dev(empty) == 0.0
