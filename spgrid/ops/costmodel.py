@@ -58,10 +58,13 @@ class V5eConstants:
     # thin-sample artifact (8 rows, medAPE 79%): with the medium study's
     # dense rows the median correction is 0.741 — a 3.6x dispatch bias
     # gone, VERDICT r4 weak #2)
+    # (r5b: refit after the gell reuse/tail + rbh density-branch
+    # structural fixes over 588 predictable rows — gell med/p90 APE
+    # 25.6/123 -> 21.2/72, rbh 41.7/90 -> 26.5/64, cv_gell p90 142 -> 64)
     fudge: dict = dataclasses.field(default_factory=lambda: {
-        "gell": 1.306, "cv_gell": 0.949, "bsr_pallas": 1.052,
-        "dense": 1.090, "ell": 0.561, "gell16": 1.334, "merge": 0.903,
-        "panel_pallas": 0.817, "rbh": 1.051, "scoo": 1.140, "sell": 0.631,
+        "gell": 1.208, "cv_gell": 0.876, "bsr_pallas": 0.922,
+        "dense": 1.091, "ell": 0.552, "gell16": 1.229, "merge": 0.924,
+        "panel_pallas": 1.039, "rbh": 0.951, "scoo": 1.140, "sell": 0.684,
         "wcoo_bands": 0.970})
 
 
@@ -154,11 +157,50 @@ def _full_src_rate(src_bytes: float) -> float:
     return max(C.gather_slow, C.gather_fast * (cap / src_bytes) ** 0.9)
 
 
+def _unfloored_src_rate(src_bytes: float) -> float:
+    """_full_src_rate without the gather_slow floor: giant sources (>>270MB,
+    e.g. the (k, n) f32 X at k ~ 1M) keep degrading past the floor — the
+    r5 rbh rows at k = 393k-1M measured 1.3-1.9x under the floored model
+    and land on the smooth power law."""
+    cap = float(1 << 26)
+    if src_bytes <= cap:
+        return C.gather_fast
+    return C.gather_fast * (cap / src_bytes) ** 0.9
+
+
 def _gather_rate(f: MatrixFeatures, n: int, bytes_per_elem: float) -> float:
     src = f.n * n * bytes_per_elem
     if _gell_windowable(f, bytes_per_elem):
+        # windowed gather-reuse credit (ROADMAP r5 item 1): when each
+        # source row inside a window is hit many times (nnz per source
+        # row = avg_nnz * m/k >= ~16), the take runs up to ~1.5x the flat
+        # windowed rate — measured on the dense-ish windowed medium rows
+        # (49152/40-per-row rows at ratio 0.51-0.53 under the flat model;
+        # refit med/p90 APE 25.4/122 -> 22.8/66 with the credit)
+        per_src = f.avg_nnz_per_row * f.m / max(f.n, 1)
+        if per_src >= 16.0:
+            return C.gather_fast * 1.5
         return C.gather_fast
     return _full_src_rate(src)
+
+
+def _gell_slots_tail(f: MatrixFeatures) -> tuple:
+    """(slots, estimated tail nnz) matching GELLMatrix.__init__: slots =
+    ceil(1.25*avg) (widened to max when max <= slots+2 holds everything);
+    tail = the skew-boosted row's overflow (gen/artificial.py realizes
+    skew by boosting ONE row to avg*(1+skew) nnz) + a normal-approximation
+    expected per-row overflow E[(deg-slots)+] from (avg, std)."""
+    slots = max(1.0, math.ceil(f.avg_nnz_per_row * 1.25))
+    mx = min(f.avg_nnz_per_row * (1.0 + max(f.skew, 0.0)), float(f.n))
+    if mx <= slots + 2:
+        return max(1.0, mx), 0.0
+    tail = max(0.0, mx - slots)
+    mu, sd = f.avg_nnz_per_row, max(f.std_nnz_per_row, 1e-9)
+    z = (slots - mu) / sd
+    phi = math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+    cdf = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    tail += max(0.0, sd * phi - (slots - mu) * (1.0 - cdf)) * f.m
+    return slots, min(tail, 0.9 * f.nnz)
 
 
 def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
@@ -166,10 +208,13 @@ def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
 
     Rate model from the round-2 measurement campaign: gather throughput
     is rows/s bounded, ~4x higher when the gather source is <64MB —
-    which windowing achieves for column-local matrices."""
-    slots = max(1.0, math.ceil(f.avg_nnz_per_row * 1.25))
-    tail = max(0.0, f.nnz - f.m * min(slots, f.avg_nnz_per_row))
-    rows_g = f.m * slots + tail
+    which windowing achieves for column-local matrices.  r5 additions
+    (ROADMAP item 1): windowed gather-reuse credit (see _gather_rate) and
+    a tail term — tail nnz (skew-boosted row + distribution overflow,
+    _gell_slots_tail) gather from the FULL f32 X (gell.py::_add_tail
+    takes from x, never a window) at the unfloored smooth rate."""
+    slots, tail = _gell_slots_tail(f)
+    rows_g = f.m * slots
     if mode == "bf16":
         bpe, planes = 2.0, 1
     elif mode == "split16":
@@ -203,7 +248,9 @@ def _gell_time(f: MatrixFeatures, n: int, mode: str) -> float:
         g_bytes = planes * rows_g * n * bpe * 2.0 + f.m * n * 4.0
         mxu = 16.0 * rows_g * n * planes * nv / C.mxu_bf16
         combine = g_bytes / C.eff_bw + mxu
-    return convert + gather + combine
+    t_tail = tail / _unfloored_src_rate(f.n * n * 4.0) \
+        + tail * n * 4.0 * 2.0 / C.eff_bw
+    return convert + gather + combine + t_tail
 
 
 def _ell_time(f: MatrixFeatures, n: int) -> float:
@@ -332,18 +379,52 @@ def _rbh_time(f: MatrixFeatures, n: int) -> float:
     0.74 * crs of the nnz (measured 0.554/0.75, 0.22/0.30, 0.196/...)
     into blocks of fill c ~ 90 * run^0.42 nnz (measured 163 at run=4,
     113 at run=1.43, 92 at run=1.05), where run = 1/(1-crs) is the
-    column-reuse row-run length; the residual is the non-local tail."""
+    column-reuse row-run length; the residual is the non-local tail.
+
+    r5b recalibration on the 33 measured medium-study rbh rows (med/p90
+    APE 52.7/98.6 -> 20.7/65.6):
+    - density branch: when the UNCLUSTERED expected block fill
+      density*128^2 already clears the admission threshold (~32 nnz,
+      rbh.auto_threshold ballpark), the inspector keeps essentially every
+      block (hi_frac -> 1) regardless of crs — the dense-ish rows
+      (dens*16384 = 137-3353) measured 14-100x under the crs-only model.
+    - boosted-row densification: the skew-boosted row (gen realizes skew
+      as ONE row of avg*(1+skew) nnz) has ~128*b/k nnz per 128-col window;
+      past the threshold it densifies into ~k/128 blocks instead of
+      riding the 29ns/nnz residual.
+    - MAX_HI_BLOCKS budget (rbh.py: 2GB / 64KB = 32768 blocks) caps the
+      dense split; the spill returns to the residual.
+    - per-block cost x0.6: vertically-adjacent blocks in one column
+      window share the (128, n) x-tile DMA, so the worst-case per-block
+      DMA accounting overcharges clustered splits (fitted).
+    - perm gather at the UNFLOORED smooth rate: k = 393k-1M rows from a
+      0.8-2GB source measured past the 55 Mrow/s floor."""
     run = 1.0 / max(1.0 - min(f.cross_row_similarity, 0.999), 1.0 / 128.0)
-    c = 90.0 * min(run, 128.0) ** 0.42
-    hi_frac = min(1.0, 0.74 * f.cross_row_similarity)
-    hi_blocks = hi_frac * f.nnz / max(c, 1.0)
+    clus_fill = 90.0 * min(run, 128.0) ** 0.42
+    base_fill = f.density * 16384.0
+    thresh = 32.0
+    if base_fill >= thresh:
+        hi_frac, c = 1.0, max(base_fill, clus_fill)
+    else:
+        hi_frac, c = min(1.0, 0.74 * f.cross_row_similarity), clus_fill
+    hi_nnz = hi_frac * f.nnz
+    extra_blocks = 0.0
+    boost = min(f.avg_nnz_per_row * (1.0 + max(f.skew, 0.0)), float(f.n))
+    if f.skew > 0 and boost > 4.0 * f.avg_nnz_per_row \
+            and 128.0 * boost / max(f.n, 1) >= thresh:
+        hi_nnz += boost * (1.0 - hi_frac)
+        extra_blocks = f.n / 128.0
+    blocks = hi_nnz / max(c, 1.0) + extra_blocks
+    max_blocks = float((2 << 30) // (128 * 128 * 4))
+    if blocks > max_blocks:
+        hi_nnz -= (blocks - max_blocks) * c
+        blocks = max_blocks
     per_block = max(128.0 * n * 4 / C.eff_bw,
                     2.0 * 128 * 128 * n / C.mxu_f32) + C.grid_step
-    perm = f.n / C.gather_slow if f.n * n * 4 > (1 << 26) \
-        else f.n / C.gather_fast
-    res = (1.0 - hi_frac) * f.nnz * 29e-9 * (n / 512.0)
+    perm = f.n / _unfloored_src_rate(f.n * n * 4.0)
+    res = (f.nnz - hi_nnz) * 29e-9 * (n / 512.0)
     stream = f.m * n * 4.0 / C.eff_bw
-    return perm + hi_blocks * per_block + res + stream
+    return perm + blocks * per_block * 0.6 + res + stream
 
 
 def _fudged(fmt: str, t: float) -> float:

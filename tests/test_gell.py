@@ -99,8 +99,13 @@ def test_cost_model_regime_picks():
     small_dense = artificial_matrix_generation(
         4000, 4000, 100, 33.0, "normal", seed=14, placement="random",
         bw=0.95)
+    # r5b: rbh joins the accepted set — its density branch (hi_frac -> 1
+    # when density*128^2 clears the block-admission threshold) makes rbh
+    # block-dense MXU execution plus a column perm on this class, and the
+    # measured medium-study rows back it (m=2445/4191 at 500 nnz/row:
+    # rbh 193-257us ~ 6.5 TFLOPS, the fastest measured kernel there)
     assert select_format(matrix_features(small_dense), 512) in (
-        "dense", "bsr_pallas", "panel_pallas")
+        "dense", "bsr_pallas", "panel_pallas", "rbh")
 
     # scattered hypersparse: the r4 grid measured merge 35.9 / sell 34.7
     # / gell 34.3 GF as statistical equals on this regime (newkernels_r3
